@@ -1,0 +1,14 @@
+from perceptor_tpu.core.pytree import Functional, field, static_field
+from perceptor_tpu.core.dtypes import Policy, default_policy, half_policy
+from perceptor_tpu.core.shapes import assert_shape, assert_dims
+
+__all__ = [
+    "Functional",
+    "field",
+    "static_field",
+    "Policy",
+    "default_policy",
+    "half_policy",
+    "assert_shape",
+    "assert_dims",
+]
