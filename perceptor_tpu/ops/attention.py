@@ -1,0 +1,96 @@
+"""Multi-head attention for TPU.
+
+Replaces the reference's xformers `memory_efficient_attention` monkeypatch
+(reference perceptor/models/stable_diffusion/attention.py:285) and its
+attention-slicing fallback (stable_diffusion.py:102-106). Two paths:
+
+  - `dot_product_attention`: the XLA path — einsum QK^T -> softmax -> PV.
+    XLA fuses the softmax chain; on TPU this is already strong for seq<=4k.
+  - `flash_attention`: a Pallas blockwise-softmax kernel (ops/flash_attention.py)
+    that never materializes the (S, S) score matrix in HBM — used for long
+    token sequences (>=1024px latents) and as the default under `attention`.
+
+Canonical layout: (batch, heads, seq, head_dim) — MXU-friendly with
+head_dim padded to lane width where needed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d) + mask) v over (B, H, S, D) arrays.
+
+    `mask` is additive (use -inf / large negative for disallowed), broadcast
+    to (B, H, Sq, Sk). Softmax is computed in fp32 for stability regardless
+    of input dtype (the TPU analogue of autocast keeping softmax in fp32).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    in_dtype = q.dtype
+    if compute_dtype is not None:
+        q, k, v = q.astype(compute_dtype), k.astype(compute_dtype), v.astype(compute_dtype)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    return out.astype(in_dtype)
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask (used by CLIP text towers, LDM BERT, etc.)."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), -1e10, dtype=dtype), k=1)
+    return mask[None, None]
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        from perceptor_tpu.ops import flash_attention as _  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Dispatching attention entry point.
+
+    Uses the Pallas flash kernel for long unmasked self-attention on TPU
+    (where avoiding the S x S HBM roundtrip matters), XLA otherwise.
+    """
+    seq_q, seq_k = q.shape[-2], k.shape[-2]
+    if use_flash is None:
+        use_flash = (
+            mask is None
+            and seq_q >= 1024
+            and seq_q == seq_k
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+    if use_flash and _flash_available():
+        from perceptor_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return dot_product_attention(q, k, v, mask=mask, scale=scale)

@@ -1,0 +1,78 @@
+"""Checkpoint resolution and loading.
+
+The reference downloads weights on construction (reference §2.9:
+basicsr.load_file_from_url / HF hub, cached under a local `models/` dir).
+This environment is zero-egress, so resolution is local-only: checkpoints
+are searched in the cache dirs below; loading supports torch pickles
+(.pt/.pth/.ckpt/.bin), numpy archives (.npz), and safetensors. Wrappers
+fall back to deterministic random init when no checkpoint is present
+(`pretrained="auto"`), so the full pipeline runs — weights drop in later
+without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+CACHE_DIRS = (
+    "models",
+    os.path.expanduser("~/.cache/perceptor_tpu"),
+    os.environ.get("PERCEPTOR_TPU_CACHE", ""),
+)
+
+_SUFFIXES = (".safetensors", ".npz", ".pt", ".pth", ".ckpt", ".bin")
+
+
+def find_checkpoint(*names: str) -> Optional[str]:
+    """Return the first existing checkpoint path among candidate basenames."""
+    for name in names:
+        if not name:
+            continue
+        if os.path.exists(name):
+            return name
+        for cache_dir in CACHE_DIRS:
+            if not cache_dir:
+                continue
+            candidates: Iterable[str] = (
+                [os.path.join(cache_dir, name)]
+                if os.path.splitext(name)[1]
+                else [os.path.join(cache_dir, name + sfx) for sfx in _SUFFIXES]
+            )
+            for path in candidates:
+                if os.path.exists(path):
+                    return path
+    return None
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint into a flat {name: np.ndarray} dict."""
+    if path.endswith(".npz"):
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        except ImportError as e:
+            raise ImportError(
+                "safetensors not available; convert the checkpoint to .npz"
+            ) from e
+    # torch pickle
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    out = {}
+    for key, value in obj.items():
+        if hasattr(value, "detach"):
+            out[key] = value.detach().cpu().float().numpy()
+        else:
+            out[key] = np.asarray(value)
+    return out

@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from perceptor_tpu import drawers, engine, losses
+from tests.test_clip import TINY
+
+
+@pytest.fixture(scope="module")
+def clip_loss():
+    from perceptor_tpu.losses.open_clip import OpenCLIP
+
+    loss = OpenCLIP("ViT-B-32", "test", config=TINY)
+    rng = np.random.default_rng(0)
+    loss.add_encodings_(rng.normal(size=(2, TINY.embed_dim)).astype(np.float32))
+    return loss
+
+
+def test_prompt_bank_builders(clip_loss):
+    assert clip_loss.encodings.shape == (2, TINY.embed_dim)
+    # norms are 1 after add
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(clip_loss.encodings), axis=-1), 1.0, atol=1e-5
+    )
+    clip_loss2 = type(clip_loss)("ViT-B-32", "test", config=TINY)
+    clip_loss2.add_encodings_(np.ones((1, TINY.embed_dim), np.float32), weights=2.0)
+    clip_loss2.add_encodings_(np.ones((3, TINY.embed_dim), np.float32), [1.0, 2.0, 3.0])
+    assert clip_loss2.bank_weights.shape == (4,)
+    np.testing.assert_allclose(clip_loss2.bank_weights, [2, 1, 2, 3])
+
+
+def test_loss_scalar_and_grad(clip_loss):
+    images = jnp.ones((1, 3, 48, 48)) * 0.4
+    value = clip_loss(images)
+    assert value.shape == ()
+    grad = jax.grad(lambda im: clip_loss(im))(images)
+    assert bool(jnp.any(grad != 0))
+
+
+def test_smoothness_known_value():
+    images = jnp.stack(
+        [jnp.broadcast_to(jnp.linspace(0, 1, 8), (8, 8))] * 3
+    )[None]
+    value = losses.Smoothness()(images)
+    # horizontal gradient = 1/7 everywhere; vertical = 0
+    np.testing.assert_allclose(float(value), (1 / 7) ** 2, rtol=1e-5)
+
+
+def test_resize_loss_zero_for_same():
+    images = jnp.ones((1, 3, 16, 16)) * 0.3
+    assert float(losses.Resize(size=(8, 8))(images, images)) == 0.0
+
+
+def test_raw_drawer_and_inits():
+    drawer = drawers.Raw(jnp.zeros((1, 3, 32, 32)))
+    assert drawer.synthesize().shape == (1, 3, 32, 32)
+    fractal = drawers.Raw.random_fractal_image((1, 3, 64, 64), seed=0)
+    assert fractal.params.shape == (1, 3, 64, 64)
+    assert 0 <= float(fractal.params.min()) and float(fractal.params.max()) <= 1
+    gradient = drawers.Raw.random_gradient_image((2, 3, 32, 32), seed=0)
+    assert gradient.params.shape == (2, 3, 32, 32)
+    # deterministic under the same seed
+    gradient2 = drawers.Raw.random_gradient_image((2, 3, 32, 32), seed=0)
+    np.testing.assert_allclose(gradient.params, gradient2.params)
+    # encode = resize into the grid
+    encoded = drawer.encode(jnp.ones((1, 3, 64, 64)))
+    assert encoded.shape == (1, 3, 32, 32)
+
+
+def test_guided_optimization_m0(clip_loss):
+    """M0 end-to-end: Raw drawer + CLIP-family loss + smoothness, jitted."""
+    drawer = drawers.Raw(jnp.full((1, 3, 48, 48), 0.5))
+    drawer, history = engine.optimize(
+        drawer,
+        [clip_loss, losses.Smoothness()],
+        n_steps=10,
+        optimizer=optax.adam(0.05),
+    )
+    assert len(history) == 10
+    assert history[-1] < history[0]  # loss decreases
+
+
+def test_run_on_device_scan(clip_loss):
+    """Whole loop as one lax.scan program."""
+    drawer = drawers.Raw(jnp.full((1, 3, 48, 48), 0.5))
+    params, history = engine.run_on_device(
+        drawer.synthesize, [clip_loss], drawer.params, n_steps=8
+    )
+    assert params.shape == drawer.params.shape
+    assert history.shape == (8,)
+    assert float(history[-1]) < float(history[0])
