@@ -1,0 +1,306 @@
+"""Stable Diffusion UNet (UNet2DConditionModel-compatible) in flax.linen.
+
+Functional spec: the UNet wrapped at reference
+perceptor/models/stable_diffusion/stable_diffusion.py:86-97 with the
+vendored attention stack (stable_diffusion/attention.py:120-348:
+SpatialTransformer, CrossAttention, GEGLU feed-forward) and the xformers
+flash-attention monkeypatch (attention.py:285) — here replaced by
+perceptor_tpu.ops.attention (Pallas flash kernel on long sequences).
+
+TPU-native design:
+  - public boundary NCHW (reference parity); internals NHWC, the native
+    XLA TPU conv layout, converted exactly once at entry/exit.
+  - bf16 compute / fp32 params + GroupNorm/LayerNorm/softmax (the TPU
+    analogue of the reference's fp16 autocast, stable_diffusion.py:86-97).
+  - optional `remat` (jax.checkpoint) per block — replaces the
+    reference's attention_slicing memory workaround
+    (stable_diffusion.py:102-106) when differentiating through the UNet.
+  - module names mirror the diffusers state_dict layout so
+    convert.py is a mechanical rename + transpose.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from perceptor_tpu.models.stable_diffusion.config import UNetConfig
+from perceptor_tpu.ops.attention import attention
+
+
+def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):
+    """Sinusoidal embedding, [cos | sin] order (functional spec:
+    reference ldm/modules/diffusionmodules/util.py:192-212)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.pad(embedding, ((0, 0), (0, 1)))
+    return embedding
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer SiLU MLP over the sinusoidal embedding (diffusers naming)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = jax.nn.silu(emb)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+
+
+def group_norm(x, name: str, epsilon: float = 1e-5):
+    # 32 groups (diffusers norm_num_groups); tiny test configs have <32
+    # channels, where one group per channel keeps the op well-defined.
+    return nn.GroupNorm(
+        num_groups=min(32, x.shape[-1]), epsilon=epsilon, dtype=jnp.float32, name=name
+    )(x)
+
+
+class ResnetBlock(nn.Module):
+    """GN-SiLU-conv + time-shift + GN-SiLU-conv with skip (diffusers
+    ResnetBlock2D semantics). NHWC."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = group_norm(x, "norm1")
+        h = jax.nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(h.astype(self.dtype))
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            jax.nn.silu(emb).astype(self.dtype)
+        )
+        h = h + emb_out[:, None, None, :]
+        h = group_norm(h, "norm2")
+        h = jax.nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(h.astype(self.dtype))
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x.astype(self.dtype))
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention, q from x, k/v from context (self-attn when
+    context is None). Spec: reference stable_diffusion/attention.py:250-299;
+    the xformers call at :285 is replaced by ops.attention."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        b, s, _ = x.shape
+        sk = context.shape[1]
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        def split(t, seq):
+            return t.reshape(b, seq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = attention(split(q, s), split(k, sk), split(v, sk))
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (spec: reference attention.py:301-348)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = nn.Dense(self.dim * 8, dtype=self.dtype, name="net_0_proj")(x)
+        value, gate = jnp.split(hidden, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(
+            value * jax.nn.gelu(gate, approximate=False)
+        )
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        def ln(name):
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
+            ln("norm1")(x).astype(self.dtype)
+        )
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
+            ln("norm2")(x).astype(self.dtype), context
+        )
+        x = x + FeedForward(
+            self.heads * self.dim_head, self.dtype, name="ff"
+        )(ln("norm3")(x).astype(self.dtype))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 proj_in -> transformer blocks over HW tokens -> 1x1
+    proj_out + residual (spec: reference attention.py:120-247). NHWC."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = group_norm(x, "norm", epsilon=1e-6)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x.astype(self.dtype))
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, self.dtype, name=f"transformer_blocks_{i}"
+            )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class UNet(nn.Module):
+    """UNet2DConditionModel-compatible denoiser.
+
+    __call__(latents NCHW, timesteps (N,), context (N, S, context_dim))
+    -> predicted noise, NCHW.
+    """
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents, timesteps, context):
+        cfg = self.config
+        channels = cfg.block_channels
+        time_dim = channels[0] * 4
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (latents.shape[0],))
+
+        res_block = ResnetBlock
+        transformer = SpatialTransformer
+        if cfg.remat:
+            res_block = nn.remat(ResnetBlock)
+            transformer = nn.remat(SpatialTransformer)
+
+        emb = timestep_embedding(timesteps, channels[0])
+        emb = TimestepEmbedding(time_dim, dtype=self.dtype, name="time_embedding")(emb)
+
+        x = latents.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
+        context = context.astype(self.dtype)
+
+        x = nn.Conv(channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        skips = [x]
+
+        # -- down --
+        for i, ch in enumerate(channels):
+            dim_head = ch // cfg.n_heads
+            for j in range(cfg.n_res_blocks):
+                x = res_block(
+                    ch, dtype=self.dtype, name=f"down_blocks_{i}_resnets_{j}"
+                )(x, emb)
+                if cfg.cross_attention[i]:
+                    x = transformer(
+                        cfg.n_heads,
+                        dim_head,
+                        cfg.transformer_depth,
+                        dtype=self.dtype,
+                        name=f"down_blocks_{i}_attentions_{j}",
+                    )(x, context)
+                skips.append(x)
+            if i < len(channels) - 1:
+                x = Downsample(
+                    ch, dtype=self.dtype, name=f"down_blocks_{i}_downsamplers_0"
+                )(x)
+                skips.append(x)
+
+        # -- mid --
+        mid_ch = channels[-1]
+        x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_0")(x, emb)
+        x = transformer(
+            cfg.n_heads,
+            mid_ch // cfg.n_heads,
+            cfg.transformer_depth,
+            dtype=self.dtype,
+            name="mid_block_attentions_0",
+        )(x, context)
+        x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_1")(x, emb)
+
+        # -- up --
+        for i, ch in enumerate(reversed(channels)):
+            level = len(channels) - 1 - i
+            dim_head = ch // cfg.n_heads
+            for j in range(cfg.n_res_blocks + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = res_block(
+                    ch, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
+                )(x, emb)
+                if cfg.cross_attention[level]:
+                    x = transformer(
+                        cfg.n_heads,
+                        dim_head,
+                        cfg.transformer_depth,
+                        dtype=self.dtype,
+                        name=f"up_blocks_{i}_attentions_{j}",
+                    )(x, context)
+            if level > 0:
+                x = Upsample(
+                    ch, dtype=self.dtype, name=f"up_blocks_{i}_upsamplers_0"
+                )(x)
+
+        x = group_norm(x, "conv_norm_out")
+        x = jax.nn.silu(x)
+        x = nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(x.astype(self.dtype))
+        return x.transpose(0, 3, 1, 2).astype(jnp.float32)  # NHWC -> NCHW

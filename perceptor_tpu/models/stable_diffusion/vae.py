@@ -1,0 +1,187 @@
+"""AutoencoderKL (Stable Diffusion first stage) in flax.linen.
+
+Functional spec: the VAE wrapped at reference
+perceptor/models/stable_diffusion/stable_diffusion.py:82-84 (scale 0.18215,
+encode :176-192 samples the diagonal posterior, decode :194-198) with the
+optional sd-vae-ft-mse decoder swap (:36). Architecture semantics are the
+CompVis Encoder/Decoder (reference
+models/latent_diffusion/ldm/modules/diffusionmodules/model.py Encoder/Decoder).
+
+Same TPU layout policy as unet.py: NCHW boundary, NHWC internals, bf16
+compute with fp32 norms; diffusers state_dict naming for convert.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from perceptor_tpu.models.stable_diffusion.config import VAEConfig
+from perceptor_tpu.ops.attention import attention
+
+
+def group_norm(x, name: str):
+    # 32 groups (diffusers norm_num_groups); adapt for tiny test configs.
+    return nn.GroupNorm(
+        num_groups=min(32, x.shape[-1]), epsilon=1e-6, dtype=jnp.float32, name=name
+    )(x)
+
+
+class ResnetBlock(nn.Module):
+    """VAE residual block (no time embedding). NHWC."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = group_norm(x, "norm1")
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(
+            h.astype(self.dtype)
+        )
+        h = group_norm(h, "norm2")
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(
+            h.astype(self.dtype)
+        )
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x.astype(self.dtype))
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head spatial self-attention at the bottleneck (spec:
+    reference attention.py:23-118 AttentionBlock with num_head_channels=None)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        x = group_norm(x, "group_norm").astype(self.dtype)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        out = attention(q[:, None], k[:, None], v[:, None])[:, 0]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return out.reshape(b, h, w, c) + residual
+
+
+class MidBlock(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResnetBlock(self.channels, dtype=self.dtype, name="resnets_0")(x)
+        x = AttnBlock(dtype=self.dtype, name="attentions_0")(x)
+        return ResnetBlock(self.channels, dtype=self.dtype, name="resnets_1")(x)
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        channels = cfg.block_channels
+        x = nn.Conv(channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(channels):
+            for j in range(cfg.n_res_blocks):
+                x = ResnetBlock(
+                    ch, dtype=self.dtype, name=f"down_blocks_{i}_resnets_{j}"
+                )(x)
+            if i < len(channels) - 1:
+                x = nn.Conv(
+                    ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}_downsamplers_0_conv",
+                )(x)
+        x = MidBlock(channels[-1], dtype=self.dtype, name="mid_block")(x)
+        x = group_norm(x, "conv_norm_out")
+        x = jax.nn.silu(x)
+        return nn.Conv(
+            2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(x.astype(self.dtype))
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        channels = cfg.block_channels
+        x = nn.Conv(channels[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = MidBlock(channels[-1], dtype=self.dtype, name="mid_block")(x)
+        for i, ch in enumerate(reversed(channels)):
+            for j in range(cfg.n_res_blocks + 1):
+                x = ResnetBlock(
+                    ch, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
+                )(x)
+            if i < len(channels) - 1:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+                x = nn.Conv(
+                    ch, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"up_blocks_{i}_upsamplers_0_conv",
+                )(x)
+        x = group_norm(x, "conv_norm_out")
+        x = jax.nn.silu(x)
+        return nn.Conv(
+            cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(x.astype(self.dtype))
+
+
+class AutoencoderKL(nn.Module):
+    """KL-VAE. Public boundary NCHW in [0,1] image space; latents are
+    pre-scaled by `scaling_factor` exactly as the reference exposes them
+    (stable_diffusion.py:176-198)."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.config, dtype=self.dtype)
+        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), name="quant_conv")
+        self.post_quant_conv = nn.Conv(
+            self.config.latent_channels, (1, 1), name="post_quant_conv"
+        )
+
+    def moments(self, images):
+        """images NCHW [0,1] -> (mean, logvar) of the latent posterior."""
+        x = (images * 2.0 - 1.0).transpose(0, 2, 3, 1).astype(self.dtype)
+        h = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(h.transpose(0, 3, 1, 2).astype(jnp.float32), 2, axis=1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, images, key=None):
+        """Sample (or take the mode when key is None) of the posterior,
+        scaled (reference stable_diffusion.py:176-192)."""
+        mean, logvar = self.moments(images)
+        if key is not None:
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, mean.dtype
+            )
+        return mean * self.config.scaling_factor
+
+    def decode(self, latents):
+        """latents NCHW (scaled) -> images NCHW [0,1]
+        (reference stable_diffusion.py:194-198)."""
+        x = (latents / self.config.scaling_factor).transpose(0, 2, 3, 1)
+        x = self.post_quant_conv(x.astype(self.dtype))
+        x = self.decoder(x)
+        images = (x.transpose(0, 3, 1, 2).astype(jnp.float32) + 1.0) / 2.0
+        return images
+
+    def __call__(self, images, key=None):
+        return self.decode(self.encode(images, key))
