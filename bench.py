@@ -1,0 +1,165 @@
+"""Headline benchmark: CLIP-guided StableDiffusion denoise steps/sec/chip at 512px.
+
+The BASELINE.json metric: one *fused guided denoise step* = UNet forward
++ VAE decode + CLIP (ViT-B-32) loss + VJP back through all of it + guided()
++ DDIM step, compiled as ONE XLA program (SURVEY §3.3 is the reference call
+stack this fuses). Weights are random-init (zero-egress environment) —
+identical FLOPs/memory to pretrained.
+
+Baseline: the target is >=5 steps/s/chip == >=3x an A100 running the
+PyTorch reference (BASELINE.md), i.e. the implied reference throughput is
+5/3 steps/s; `vs_baseline` reports value / (5/3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+QUICK = os.environ.get("BENCH_QUICK", "") == "1"
+
+
+def build():
+    from perceptor_tpu.core.init import init_by_shape
+    from perceptor_tpu.models.stable_diffusion import (
+        AutoencoderKL,
+        UNet,
+        config as sd_config,
+    )
+    from perceptor_tpu.models.clip import configs as clip_configs
+    from perceptor_tpu.models.clip.model import CLIP as CLIPModule
+    from perceptor_tpu.ops.resize import resize
+    from perceptor_tpu.models.open_clip import CLIP_MEAN, CLIP_STD
+    from perceptor_tpu.losses.prompt_bank import spherical_distance_squared
+    from perceptor_tpu.predictions import LatentIndexedEpsPredictions
+    from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
+
+    if QUICK:
+        unet_cfg, vae_cfg = sd_config.TINY_UNET, sd_config.TINY_VAE
+        size = 64
+    else:
+        unet_cfg, vae_cfg = sd_config.SD_V1_UNET, sd_config.SD_V1_VAE
+        size = 512
+    latent_size = size // vae_cfg.downscale
+
+    unet = UNet(unet_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    clip_config = clip_configs.get_config("ViT-B-32", "openai")
+    clip = CLIPModule(clip_config, dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    latents = jax.random.normal(key, (1, unet_cfg.in_channels, latent_size, latent_size))
+    context = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 77, unet_cfg.context_dim)
+    )
+    unet_params = init_by_shape(
+        unet.init, key, latents, jnp.zeros((1,)), context
+    )["params"]
+    vae_params = init_by_shape(vae.init, key, jnp.zeros((1, 3, size, size)))["params"]
+    clip_params = init_by_shape(
+        clip.init,
+        key,
+        jnp.zeros((1, 3, *clip_config.image_size)),
+        jnp.zeros((1, clip_config.context_length), jnp.int32),
+    )["params"]
+
+    alphas, sigmas = scaled_linear_alphas_sigmas()
+    alphas, sigmas = jnp.asarray(alphas), jnp.asarray(sigmas)
+    target = jax.random.normal(jax.random.PRNGKey(2), (1, clip_config.embed_dim))
+    target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    mean = jnp.asarray(CLIP_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(CLIP_STD).reshape(1, 3, 1, 1)
+
+    from_idx = jnp.array([800])
+    to_idx = jnp.array([780])
+
+    def clip_loss(clip_params, images):
+        images = resize(images, out_shape=clip_config.image_size)
+        images = (images - mean) / std
+        encodings = clip.apply(
+            {"params": clip_params}, images, method=CLIPModule.encode_image
+        )
+        encodings = encodings / jnp.maximum(
+            jnp.linalg.norm(encodings, axis=-1, keepdims=True), 1e-12
+        )
+        return spherical_distance_squared(encodings, target).mean()
+
+    def make_predictions(latents, noise):
+        return LatentIndexedEpsPredictions(
+            from_diffused_latents=latents,
+            from_indices=from_idx,
+            predicted_noise=noise,
+            schedule_alphas=alphas,
+            schedule_sigmas=sigmas,
+        )
+
+    @jax.jit
+    def guided_denoise_step(unet_params, vae_params, clip_params, latents, context):
+        def loss_fn(latents):
+            noise = unet.apply({"params": unet_params}, latents, from_idx * 1.0, context)
+            predictions = make_predictions(latents, noise)
+            images = vae.apply(
+                {"params": vae_params},
+                predictions.denoised_xs,
+                method="decode",
+            )
+            return clip_loss(clip_params, images), noise
+
+        (loss, noise), grads = jax.value_and_grad(loss_fn, has_aux=True)(latents)
+        predictions = make_predictions(latents, noise)
+        stepped = predictions.guided(grads, guidance_scale=0.5).step(to_idx)
+        return stepped, loss
+
+    params = (unet_params, vae_params, clip_params)
+    return guided_denoise_step, params, latents, context
+
+
+def main():
+    step, (unet_params, vae_params, clip_params), latents, context = build()
+
+    # compile + warmup
+    t0 = time.time()
+    out, loss = step(unet_params, vae_params, clip_params, latents, context)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    out, _ = step(unet_params, vae_params, clip_params, out, context)
+    jax.block_until_ready(out)
+
+    n = 3 if QUICK else 10
+    t0 = time.time()
+    current = latents
+    for _ in range(n):
+        current, loss = step(unet_params, vae_params, clip_params, current, context)
+    jax.block_until_ready(current)
+    elapsed = time.time() - t0
+
+    steps_per_sec = n / elapsed
+    baseline = 5.0 / 3.0  # implied A100 reference throughput (BASELINE.md)
+    label = (
+        "guided denoise steps/sec/chip, TINY config (BENCH_QUICK dev mode)"
+        if QUICK
+        else "guided denoise steps/sec/chip, 512px SD + CLIP ViT-B-32"
+    )
+    result = {
+        "metric": label,
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(steps_per_sec / baseline, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# compile {compile_s:.1f}s; {n} steps in {elapsed:.2f}s; "
+        f"loss finite: {bool(jnp.isfinite(loss))}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

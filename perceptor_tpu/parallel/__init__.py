@@ -1,0 +1,41 @@
+"""Device mesh, sharding rules, and collectives — the distributed backend.
+
+The reference has NO framework-level parallelism (SURVEY §2.8): everything
+runs single-process on one GPU, with memory pressure handled by fp16 /
+attention slicing / checkpointing. On TPU, parallelism is a first-class
+subsystem: a named-axis mesh over ICI/DCN, GSPMD sharding annotations, and
+XLA-inserted collectives (the TPU-native equivalent of NCCL).
+
+Axis conventions (SURVEY §7.3):
+    data     batch / cutouts / the CFG pair  (pure data parallel; DCN-safe)
+    tensor   channels / attention heads      (tensor parallel; ICI)
+    context  flattened H*W image tokens      (sequence/context parallel; ICI)
+"""
+
+from perceptor_tpu.parallel.mesh import (
+    AXIS_DATA,
+    AXIS_TENSOR,
+    AXIS_CONTEXT,
+    create_mesh,
+)
+from perceptor_tpu.parallel.partition import (
+    PartitionRules,
+    SD_TENSOR_PARALLEL_RULES,
+    partition_params,
+    shard_params,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "AXIS_DATA",
+    "AXIS_TENSOR",
+    "AXIS_CONTEXT",
+    "create_mesh",
+    "PartitionRules",
+    "SD_TENSOR_PARALLEL_RULES",
+    "partition_params",
+    "shard_params",
+    "shard_batch",
+    "replicate",
+]

@@ -1,0 +1,72 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from perceptor_tpu import parallel
+from perceptor_tpu.models.stable_diffusion import UNet, config as sd_config
+
+
+def test_create_mesh_shapes():
+    mesh = parallel.create_mesh()
+    assert mesh.shape[parallel.AXIS_DATA] == 8
+    mesh = parallel.create_mesh(tensor=4)
+    assert mesh.shape[parallel.AXIS_DATA] == 2
+    assert mesh.shape[parallel.AXIS_TENSOR] == 4
+    with pytest.raises(ValueError):
+        parallel.create_mesh(data=3, tensor=3)
+
+
+def test_partition_rules_col_row():
+    mesh = parallel.create_mesh(tensor=4, data=2)
+    params = {
+        "attn1": {"to_q": {"kernel": jnp.zeros((64, 64))}},
+        "ff": {"net_2": {"kernel": jnp.zeros((256, 64)), "bias": jnp.zeros((64,))}},
+        "norm": {"scale": jnp.zeros((64,))},
+        "odd": {"to_q": {"kernel": jnp.zeros((6, 6))}},  # not divisible by 4
+    }
+    specs = parallel.partition_params(
+        params, parallel.SD_TENSOR_PARALLEL_RULES, mesh
+    )
+    assert specs["attn1"]["to_q"]["kernel"] == P(None, "tensor")
+    assert specs["ff"]["net_2"]["kernel"] == P("tensor", None)
+    assert specs["ff"]["net_2"]["bias"] == P()
+    assert specs["norm"]["scale"] == P()
+    assert specs["odd"]["to_q"]["kernel"] == P()  # demoted
+
+
+def test_sharded_unet_matches_single_device():
+    """TP+DP-sharded UNet forward == unsharded forward (GSPMD inserts the
+    collectives; numerics must not change)."""
+    cfg = sd_config.TINY_UNET
+    module = UNet(cfg)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16))
+    timesteps = jnp.array([500.0, 10.0])
+    context = jax.random.normal(jax.random.PRNGKey(2), (2, 8, cfg.context_dim))
+    params = module.init(jax.random.PRNGKey(0), latents, timesteps, context)["params"]
+
+    expected = module.apply({"params": params}, latents, timesteps, context)
+
+    mesh = parallel.create_mesh(tensor=4, data=2)
+    sharded_params = parallel.shard_params(params, mesh)
+    sharded_latents = parallel.shard_batch(latents, mesh)
+    sharded_ts = parallel.shard_batch(timesteps, mesh)
+    sharded_ctx = parallel.shard_batch(context, mesh)
+
+    @jax.jit
+    def forward(p, lat, ts, ctx):
+        return module.apply({"params": p}, lat, ts, ctx)
+
+    # no set_mesh: inputs carry NamedShardings; GSPMD auto-propagates
+    actual = forward(sharded_params, sharded_latents, sharded_ts, sharded_ctx)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=2e-5)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = parallel.create_mesh()
+    x = jnp.zeros((8, 3, 4, 4))
+    sharded = parallel.shard_batch(x, mesh)
+    assert sharded.sharding.spec == P("data", None, None, None)
