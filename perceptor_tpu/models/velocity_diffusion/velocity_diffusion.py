@@ -1,0 +1,173 @@
+"""VelocityDiffusion wrapper (yfcc_2 / yfcc_1 / cc12m_1_cfg / wikiart).
+
+Rebuild of reference perceptor/models/velocity_diffusion/velocity_diffusion.py:15-164:
+continuous-t cosine schedule, Karras-rho `schedule_ts`, `velocities()` UNet
+forward (bf16, the autocast analogue of :96-109), `predictions()` ->
+VelocityPredictions, CLIP `conditioning()` for cc12m (:123-135),
+`diffuse` (:137-144), and `inject_noise` reverse-renoising (:146-164,
+explicit key).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceptor_tpu import utils
+from perceptor_tpu.core.init import init_by_shape
+from perceptor_tpu.models.velocity_diffusion import configs
+from perceptor_tpu.models.velocity_diffusion.net import VDiffusionUNet
+from perceptor_tpu.predictions import VelocityPredictions, diffusion_space
+from perceptor_tpu.schedules import t_to_alpha_sigma, sigma_to_t, velocity_schedule_ts
+from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
+
+
+@utils.cache
+class VelocityDiffusion:
+    def __init__(self, name: str = "yfcc_2", fp16: bool = True, remat: bool = False):
+        """Args mirror reference velocity_diffusion.py:16-23; available
+        names: yfcc_2, yfcc_1, cc12m_1_cfg (CLIP-conditioned), wikiart."""
+        if name not in configs.MODEL_CONFIGS:
+            raise ValueError(f"unknown velocity diffusion model: {name}")
+        self.name = name
+        cfg = configs.MODEL_CONFIGS[name]
+        if remat:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, remat=True)
+        self.config = cfg
+        self.module = VDiffusionUNet(cfg, dtype=jnp.bfloat16 if fp16 else jnp.float32)
+        self.params = self._load_or_init_params()
+        self._jit_velocities = jax.jit(self._velocities_fn)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.config.in_channels, *self.config.image_size)
+
+    @property
+    def conditioned(self) -> bool:
+        return self.config.mapping is not None
+
+    def _load_or_init_params(self):
+        path = find_checkpoint(f"velocity_diffusion_{self.name}", self.name)
+        if path is not None:
+            from perceptor_tpu.models.velocity_diffusion import convert
+
+            params = convert.from_torch(load_state_dict(path), self.config)
+            return jax.device_put(params, jax.devices()[0])
+        size = min(self.config.image_size[0], 64)
+        kwargs = {}
+        if self.conditioned:
+            kwargs["clip_embed"] = jnp.zeros((1, self.config.mapping.clip_dim))
+        return init_by_shape(
+            self.module.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.config.in_channels, size, size)),
+            jnp.zeros((1,)),
+            **kwargs,
+        )["params"]
+
+    # -- schedules (host-side, static) ---------------------------------------
+
+    @staticmethod
+    def schedule_ts(n_steps=500, from_ts=1.0, to_ts=1e-2, rho=7.0) -> np.ndarray:
+        """(n_steps, 2) (from_t, to_t) pairs (reference :47-66)."""
+        return velocity_schedule_ts(n_steps, from_ts, to_ts, rho)
+
+    @staticmethod
+    def sigmas_to_ts(sigmas):
+        return sigma_to_t(sigmas)
+
+    def alphas(self, ts):
+        alphas, _ = t_to_alpha_sigma(jnp.atleast_1d(jnp.asarray(ts)))
+        return alphas[:, None, None, None]
+
+    def sigmas(self, ts):
+        _, sigmas = t_to_alpha_sigma(jnp.atleast_1d(jnp.asarray(ts)))
+        return sigmas[:, None, None, None]
+
+    def random_diffused(self, shape, key) -> jax.Array:
+        """Pure-noise start (reference :68-69, explicit key)."""
+        return diffusion_space.decode(jax.random.normal(key, shape))
+
+    # -- network -------------------------------------------------------------
+
+    def _velocities_fn(self, params, diffused_images, ts, conditioning=None):
+        xs = diffusion_space.encode(diffused_images)
+        if conditioning is not None:
+            clip_embed = jnp.asarray(conditioning)
+            if clip_embed.ndim == 3:  # (1, N, D) stacked conditioning
+                clip_embed = clip_embed.squeeze(0)
+            return self.module.apply({"params": params}, xs, ts, clip_embed)
+        return self.module.apply({"params": params}, xs, ts)
+
+    def velocities(self, diffused_images, ts, conditioning=None) -> jax.Array:
+        """UNet forward (reference :96-109)."""
+        ts = jnp.asarray(ts, dtype=jnp.float32)
+        if ts.ndim == 0:
+            ts = jnp.broadcast_to(ts, (diffused_images.shape[0],))
+        if conditioning is None:
+            return self._jit_velocities(self.params, diffused_images, ts)
+        return self._jit_velocities(self.params, diffused_images, ts, conditioning)
+
+    def predictions(self, diffused_images, ts, conditioning=None) -> VelocityPredictions:
+        """(reference :111-121)."""
+        ts = jnp.asarray(ts, dtype=jnp.float32)
+        if ts.ndim == 0:
+            ts = jnp.broadcast_to(ts, (diffused_images.shape[0],))
+        return VelocityPredictions(
+            from_diffused_images=diffused_images,
+            from_ts=ts,
+            velocities=self.velocities(diffused_images, ts, conditioning),
+        )
+
+    forward = predictions
+
+    def conditioning(self, texts=None, images=None, encodings=None) -> jax.Array:
+        """Mean of CLIP text/image/raw encodings (reference :123-135)."""
+        from perceptor_tpu import models
+
+        clip_model = models.CLIP(self.config.mapping.clip_model)
+        all_encodings = []
+        if texts is not None:
+            all_encodings.append(clip_model.encode_texts(texts))
+        if images is not None:
+            all_encodings.append(clip_model.encode_images(images))
+        if encodings is not None:
+            all_encodings.append(jnp.asarray(encodings))
+        if not all_encodings:
+            raise ValueError("Must provide at least one of texts, images, encodings")
+        return jnp.stack(all_encodings, axis=0).mean(axis=0)[None]
+
+    # -- diffusion utilities ------------------------------------------------------
+
+    def diffuse(self, denoised_images, ts, noise=None, key=None) -> jax.Array:
+        """q-sample (reference :137-144)."""
+        xs = diffusion_space.encode(denoised_images)
+        ts = jnp.atleast_1d(jnp.asarray(ts, dtype=jnp.float32))
+        if noise is None:
+            if key is None:
+                raise ValueError("diffuse() is stochastic: pass noise= or key=")
+            noise = jax.random.normal(key, xs.shape, xs.dtype)
+        return diffusion_space.decode(
+            xs * self.alphas(ts) + noise * self.sigmas(ts)
+        )
+
+    def inject_noise(
+        self, diffused_images, ts, reversed_ts, key, extra_noise_multiplier=1.003
+    ) -> jax.Array:
+        """Reverse-renoise to a higher t (reference :146-164)."""
+        xs = diffusion_space.encode(diffused_images)
+        multiplier = self.alphas(reversed_ts) / self.alphas(ts)
+        target_sigmas = self.sigmas(reversed_ts)
+        additional_std = jnp.sqrt(
+            jnp.square(target_sigmas)
+            - jnp.square(self.sigmas(ts)) * jnp.square(multiplier)
+        )
+        fresh = jax.random.normal(key, xs.shape, xs.dtype)
+        return diffusion_space.decode(
+            xs * multiplier + additional_std * fresh * extra_noise_multiplier
+        )

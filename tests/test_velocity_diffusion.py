@@ -1,0 +1,152 @@
+"""VelocityDiffusion tests, incl. full numerical parity vs the PyTorch
+reference models (loaded by file path with random weights — the strongest
+verification SURVEY §4 calls for, no downloads needed)."""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceptor_tpu.models.velocity_diffusion import (
+    VDiffusionUNet,
+    VelocityDiffusion,
+    configs,
+    convert,
+)
+
+REF_DIR = "/root/reference/perceptor/models/velocity_diffusion"
+
+
+def load_reference_module(filename):
+    torch = pytest.importorskip("torch")  # noqa: F841
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{filename}", os.path.join(REF_DIR, f"{filename}.py")
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def _parity(torch_model, cfg, size, clip_dim=None, atol=2e-4):
+    import torch
+
+    torch_model.eval()
+    state_dict = torch_model.state_dict()
+    params = convert.from_torch(state_dict, cfg)
+
+    torch.manual_seed(0)
+    x = torch.randn(2, 3, size, size)
+    t = torch.tensor([0.7, 0.3])
+    args = [x, t]
+    kwargs = {}
+    if clip_dim is not None:
+        clip_embed = torch.randn(2, clip_dim)
+        args.append(clip_embed)
+        kwargs["clip_embed"] = jnp.asarray(clip_embed.numpy())
+    with torch.no_grad():
+        expected = torch_model(*args).numpy()
+
+    module = VDiffusionUNet(cfg, dtype=jnp.float32)
+    actual = module.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(x.numpy()),
+        jnp.asarray(t.numpy()),
+        **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(actual), expected, atol=atol)
+
+
+@pytest.mark.slow
+def test_parity_yfcc_2():
+    ref = load_reference_module("yfcc_2")
+    _parity(ref.YFCC2Model(), configs.YFCC_2, 128)
+
+
+@pytest.mark.slow
+def test_parity_wikiart():
+    ref = load_reference_module("wikiart_256")
+    _parity(ref.WikiArt256Model(), configs.WIKIART, 64)
+
+
+@pytest.mark.slow
+def test_parity_cc12m_conditioned():
+    ref = load_reference_module("cc12m_1")
+    _parity(ref.CC12M1Model(), configs.CC12M_1_CFG, 64, clip_dim=512)
+
+
+@pytest.mark.slow
+def test_parity_yfcc_1():
+    ref = load_reference_module("yfcc_1")
+    _parity(ref.YFCC1Model(), configs.YFCC_1, 128)
+
+
+# -- hermetic tiny tests ------------------------------------------------------
+
+
+def test_tiny_wrapper_predictions_and_sampling():
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(0)
+    diffused = model.random_diffused((1, 3, 32, 32), key)
+    predictions = model.predictions(diffused, 0.8)
+    assert predictions.velocities.shape == (1, 3, 32, 32)
+    stepped = predictions.step(jnp.array([0.6]))
+    assert stepped.shape == diffused.shape
+    assert bool(jnp.all(jnp.isfinite(stepped)))
+
+
+def test_tiny_conditioned_requires_embedding():
+    model = VelocityDiffusion(name="tiny_conditioned", fp16=False)
+    diffused = model.random_diffused((1, 3, 32, 32), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        model.predictions(diffused, 0.8)
+    embed = jnp.ones((1, 8))
+    predictions = model.predictions(diffused, 0.8, conditioning=embed)
+    assert predictions.velocities.shape == (1, 3, 32, 32)
+
+
+def test_schedule_ts_monotonic():
+    pairs = VelocityDiffusion.schedule_ts(n_steps=50)
+    assert pairs.shape == (50, 2)
+    assert (pairs[:, 0] > pairs[:, 1]).all()
+    assert (pairs[1:, 0] == pairs[:-1, 1]).all()
+
+
+def test_diffuse_and_inject_noise():
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    diffused = model.diffuse(images, 0.5, key=jax.random.PRNGKey(1))
+    assert diffused.shape == images.shape
+    renoised = model.inject_noise(
+        diffused, 0.5, 0.7, key=jax.random.PRNGKey(2)
+    )
+    assert renoised.shape == images.shape
+    assert bool(jnp.all(jnp.isfinite(renoised)))
+
+
+def test_full_sampler_loop_compiled():
+    """50-step sampler as one lax.scan program over the tiny model."""
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    pairs = jnp.asarray(model.schedule_ts(n_steps=10))
+    diffused0 = model.random_diffused((1, 3, 32, 32), jax.random.PRNGKey(0))
+
+    from perceptor_tpu.predictions import VelocityPredictions
+
+    @jax.jit
+    def sample(params, diffused0):
+        def body(diffused, pair):
+            ts = jnp.broadcast_to(pair[0], (1,))
+            velocities = model._velocities_fn(params, diffused, ts)
+            p = VelocityPredictions(
+                from_diffused_images=diffused, from_ts=ts, velocities=velocities
+            )
+            return p.step(jnp.broadcast_to(pair[1], (1,))), None
+
+        out, _ = jax.lax.scan(body, diffused0, pairs)
+        return out
+
+    result = sample(model.params, diffused0)
+    assert result.shape == diffused0.shape
+    assert bool(jnp.all(jnp.isfinite(result)))
