@@ -1,0 +1,242 @@
+"""OpenAI ADM UNet in flax.linen.
+
+Functional spec: reference perceptor/models/guided_diffusion/unet.py:389-650
+(ResBlock :141 with scale-shift GroupNorm and residual up/downsampling,
+AttentionBlock :255 with QKVAttentionLegacy head-interleaved layout :355,
+input/middle/output block lists with per-block skip concat).
+
+Module names mirror the torch indices (input_blocks_{i}_{j}, ...) so the
+converter is a deterministic rename. NCHW boundary, NHWC internals, bf16
+compute with fp32 norms (replaces ADM's convert_to_fp16, fp16_util.py:13-31);
+`remat` replaces ADM's use_checkpoint (nn.py:121-189).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from perceptor_tpu.models.guided_diffusion.config import ADMConfig
+from perceptor_tpu.models.stable_diffusion.unet import timestep_embedding
+from perceptor_tpu.ops.attention import attention
+
+
+def group_norm(x, name: str):
+    """ADM normalization(): GroupNorm32, eps 1e-5, fp32. Real configs have
+    channel counts divisible by 32; tiny test configs fall back to the
+    largest common divisor."""
+    import math
+
+    return nn.GroupNorm(
+        num_groups=math.gcd(32, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32,
+        name=name,
+    )(x)
+
+
+def _nearest_up(x):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+
+
+def _avg_down(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """Reference unet.py:141-253. up/down move resampling inside the block
+    (h path after the first norm-silu, x path in parallel)."""
+
+    out_channels: int
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = group_norm(x, "norm1")
+        h = jax.nn.silu(h)
+        if self.up:
+            h, x = _nearest_up(h), _nearest_up(x)
+        elif self.down:
+            h, x = _avg_down(h), _avg_down(x)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(h.astype(self.dtype))
+
+        emb_width = self.out_channels * (2 if self.use_scale_shift_norm else 1)
+        emb_out = nn.Dense(emb_width, dtype=self.dtype, name="emb_proj")(
+            jax.nn.silu(emb).astype(self.dtype)
+        )
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = group_norm(h, "norm2").astype(self.dtype) * (1 + scale) + shift
+            h = jax.nn.silu(h)
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = jax.nn.silu(group_norm(h, "norm2")).astype(self.dtype)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="skip"
+            )(x.astype(self.dtype))
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Reference unet.py:255-300 with the Legacy head-interleaved qkv layout
+    (unet.py:355-380): channels = [head0(q|k|v), head1(q|k|v), ...]."""
+
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        d = c // self.n_heads
+        y = group_norm(x, "norm")
+        qkv = nn.Dense(c * 3, dtype=self.dtype, name="qkv")(
+            y.reshape(n, h * w, c).astype(self.dtype)
+        )
+        # legacy layout: (..., heads, 3, d)
+        qkv = qkv.reshape(n, h * w, self.n_heads, 3, d)
+        q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        y = attention(q, k, v)
+        y = y.transpose(0, 2, 1, 3).reshape(n, h * w, c)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        return x + y.reshape(n, h, w, c)
+
+
+class ADMUNet(nn.Module):
+    """__call__(xs NCHW in [-1,1], timesteps (N,)) -> (N, out_channels, H, W)."""
+
+    config: ADMConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, timesteps):
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (xs.shape[0],))
+
+        time_dim = cfg.model_channels * 4
+        emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_embed_0")(
+            emb.astype(self.dtype)
+        )
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_embed_2")(
+            jax.nn.silu(emb)
+        )
+
+        res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
+        attn_block = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+
+        x = xs.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
+        ch = int(cfg.channel_mult[0] * cfg.model_channels)
+        x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="input_blocks_0_0")(x)
+        skips = [x]
+        ds = 1
+        index = 1
+
+        # -- input blocks --
+        for level, mult in enumerate(cfg.channel_mult):
+            out_ch = int(mult * cfg.model_channels)
+            for _ in range(cfg.num_res_blocks):
+                x = res_block(
+                    out_ch,
+                    cfg.use_scale_shift_norm,
+                    dtype=self.dtype,
+                    name=f"input_blocks_{index}_0",
+                )(x, emb)
+                if ds in cfg.attention_ds:
+                    x = attn_block(
+                        cfg.heads_for(out_ch),
+                        dtype=self.dtype,
+                        name=f"input_blocks_{index}_1",
+                    )(x)
+                skips.append(x)
+                index += 1
+            if level != len(cfg.channel_mult) - 1:
+                if cfg.resblock_updown:
+                    x = res_block(
+                        out_ch,
+                        cfg.use_scale_shift_norm,
+                        down=True,
+                        dtype=self.dtype,
+                        name=f"input_blocks_{index}_0",
+                    )(x, emb)
+                else:
+                    x = nn.Conv(
+                        out_ch,
+                        (3, 3),
+                        strides=(2, 2),
+                        padding=1,
+                        dtype=self.dtype,
+                        name=f"input_blocks_{index}_0_op",
+                    )(x)
+                skips.append(x)
+                index += 1
+                ds *= 2
+
+        # -- middle --
+        ch = x.shape[-1]
+        x = res_block(
+            ch, cfg.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0"
+        )(x, emb)
+        x = attn_block(
+            cfg.heads_for(ch), dtype=self.dtype, name="middle_block_1"
+        )(x)
+        x = res_block(
+            ch, cfg.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2"
+        )(x, emb)
+
+        # -- output blocks --
+        index = 0
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            out_ch = int(mult * cfg.model_channels)
+            for i in range(cfg.num_res_blocks + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = res_block(
+                    out_ch,
+                    cfg.use_scale_shift_norm,
+                    dtype=self.dtype,
+                    name=f"output_blocks_{index}_0",
+                )(x, emb)
+                sub = 1
+                if ds in cfg.attention_ds:
+                    x = attn_block(
+                        cfg.heads_for(out_ch),
+                        dtype=self.dtype,
+                        name=f"output_blocks_{index}_{sub}",
+                    )(x)
+                    sub += 1
+                if level and i == cfg.num_res_blocks:
+                    if cfg.resblock_updown:
+                        x = res_block(
+                            out_ch,
+                            cfg.use_scale_shift_norm,
+                            up=True,
+                            dtype=self.dtype,
+                            name=f"output_blocks_{index}_{sub}",
+                        )(x, emb)
+                    else:
+                        x = _nearest_up(x)
+                        x = nn.Conv(
+                            out_ch,
+                            (3, 3),
+                            padding=1,
+                            dtype=self.dtype,
+                            name=f"output_blocks_{index}_{sub}_conv",
+                        )(x)
+                    ds //= 2
+                index += 1
+
+        x = group_norm(x, "out_norm")
+        x = jax.nn.silu(x)
+        x = nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
+        )(x.astype(self.dtype))
+        return x.transpose(0, 3, 1, 2).astype(jnp.float32)

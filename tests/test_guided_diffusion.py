@@ -1,0 +1,107 @@
+"""GuidedDiffusion (ADM) tests incl. parity vs the reference torch UNet."""
+
+import importlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceptor_tpu.models.guided_diffusion import (
+    ADMUNet,
+    GuidedDiffusion,
+    config as adm_config,
+    convert,
+)
+
+REF_DIR = "/root/reference/perceptor/models/guided_diffusion"
+
+
+def load_reference_unet():
+    """Load the vendored ADM unet.py as a package (it uses relative
+    imports of nn.py / fp16_util.py)."""
+    pytest.importorskip("torch")
+    if "refadm" not in sys.modules:
+        pkg = types.ModuleType("refadm")
+        pkg.__path__ = [REF_DIR]
+        sys.modules["refadm"] = pkg
+    return importlib.import_module("refadm.unet")
+
+
+def _make_ref_model(ref, cfg: adm_config.ADMConfig, image_size: int):
+    ds_attn = tuple(
+        d for d in cfg.attention_ds
+    )
+    return ref.UNetModel(
+        image_size=image_size,
+        in_channels=cfg.in_channels,
+        model_channels=cfg.model_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=ds_attn,
+        channel_mult=cfg.channel_mult,
+        num_classes=None,
+        num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+    )
+
+
+def _parity(cfg, image_size, atol=2e-4):
+    import torch
+
+    ref = load_reference_unet()
+    torch_model = _make_ref_model(ref, cfg, image_size).eval()
+    params = convert.from_torch(torch_model.state_dict())
+
+    torch.manual_seed(0)
+    x = torch.randn(2, 3, image_size, image_size)
+    t = torch.tensor([400.0, 20.0])
+    with torch.no_grad():
+        expected = torch_model(x, t).numpy()
+
+    module = ADMUNet(cfg, dtype=jnp.float32)
+    actual = module.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(x.numpy()),
+        jnp.asarray(t.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(actual), expected, atol=atol)
+
+
+@pytest.mark.slow
+def test_parity_pixelart():
+    _parity(adm_config.PIXELART, 64)
+
+
+@pytest.mark.slow
+def test_parity_standard():
+    # standard config at reduced image size (fully convolutional)
+    _parity(adm_config.STANDARD, 128)
+
+
+def test_tiny_wrapper():
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    diffused = model.random_diffused((1, 3, 32, 32), jax.random.PRNGKey(0))
+    predictions = model.predictions(diffused, 800)
+    assert predictions.predicted_noise.shape == (1, 3, 32, 32)
+    stepped = predictions.step(600)
+    assert bool(jnp.all(jnp.isfinite(stepped)))
+
+
+def test_tiny_schedule_and_diffuse():
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    pairs = model.schedule_indices(n_steps=20)
+    assert (pairs[:, 0] > pairs[:, 1]).all()
+    images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    diffused = model.diffuse_images(images, 500, key=jax.random.PRNGKey(1))
+    assert diffused.shape == images.shape
+
+
+def test_bad_size_rejected():
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    with pytest.raises(ValueError):
+        model.random_diffused((1, 3, 33, 32), jax.random.PRNGKey(0))
