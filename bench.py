@@ -137,7 +137,9 @@ def main():
     current = latents
     for _ in range(n):
         current, loss = step(unet_params, vae_params, clip_params, current, context)
-    jax.block_until_ready(current)
+    # hard sync: host readback (block_until_ready can be a no-op through the
+    # axon tunnel); the chain's data dependencies force all n steps to finish
+    _ = float(jnp.sum(current))
     elapsed = time.time() - t0
 
     steps_per_sec = n / elapsed
