@@ -23,6 +23,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeated bench runs skip the ~10min compile
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 QUICK = os.environ.get("BENCH_QUICK", "") == "1"
 
 

@@ -27,6 +27,11 @@ class ADMConfig:
     resblock_updown: bool = False
     in_channels: int = 3
     out_channels: int = 6  # learn_sigma
+    # LDM extension (ldm/modules/diffusionmodules/openaimodel.py): replace
+    # AttentionBlock with a cross-attention SpatialTransformer
+    spatial_transformer: bool = False
+    context_dim: int = 0
+    transformer_depth: int = 1
     remat: bool = False
 
     def heads_for(self, channels: int) -> int:

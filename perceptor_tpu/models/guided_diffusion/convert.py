@@ -87,7 +87,53 @@ def from_torch(state_dict: Dict) -> Dict:
         elif rest_body in _SUB_MAP:
             sub, kind = _SUB_MAP[rest_body]
             put(base, sub, kind, leaf, value)
+        elif rest_body.startswith(("proj_in", "proj_out", "transformer_blocks")):
+            _put_spatial_transformer(params, base, rest, value)
         else:
             raise ValueError(f"unrecognized ADM sub-layer: {key}")
 
     return params
+
+
+_TRANSFORMER_LINEARS = {"to_q", "to_k", "to_v"}
+
+
+def _put_spatial_transformer(params, base, rest, value):
+    """LDM SpatialTransformer keys (openaimodel UNet with
+    use_spatial_transformer) -> the SD SpatialTransformer flax tree."""
+    params.setdefault(base, {})
+    node = params[base]
+    parts = rest.split(".")
+    leaf = parts[-1]
+    if parts[0] in ("proj_in", "proj_out"):
+        node.setdefault(parts[0], {})
+        node[parts[0]]["kernel" if leaf == "weight" else leaf] = _convert_value(
+            value, "conv", leaf
+        )
+        return
+    # transformer_blocks.{k}.<module...>.{weight|bias}
+    block = f"transformer_blocks_{parts[1]}"
+    node.setdefault(block, {})
+    sub = node[block]
+    path = parts[2:-1]
+    if path[0] in ("norm1", "norm2", "norm3"):
+        sub.setdefault(path[0], {})
+        sub[path[0]]["scale" if leaf == "weight" else leaf] = _convert_value(
+            value, "norm", leaf
+        )
+        return
+    if path[0] in ("attn1", "attn2"):
+        name = "to_out_0" if path[1] == "to_out" else path[1]
+        sub.setdefault(path[0], {}).setdefault(name, {})
+        sub[path[0]][name]["kernel" if leaf == "weight" else leaf] = _convert_value(
+            value, "linear", leaf
+        )
+        return
+    if path[0] == "ff":
+        name = "net_0_proj" if path[1:3] == ["net", "0"] else "net_2"
+        sub.setdefault("ff", {}).setdefault(name, {})
+        sub["ff"][name]["kernel" if leaf == "weight" else leaf] = _convert_value(
+            value, "linear", leaf
+        )
+        return
+    raise ValueError(f"unrecognized transformer sub-layer: {base}.{rest}")

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from perceptor_tpu.models.guided_diffusion.config import ADMConfig
-from perceptor_tpu.models.stable_diffusion.unet import timestep_embedding
+from perceptor_tpu.models.stable_diffusion.unet import (
+    SpatialTransformer,
+    timestep_embedding,
+)
 from perceptor_tpu.ops.attention import attention
 
 
@@ -117,8 +120,10 @@ class ADMUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, timesteps):
+    def __call__(self, xs, timesteps, context=None):
         cfg = self.config
+        if cfg.spatial_transformer and context is None:
+            raise ValueError("spatial-transformer UNet needs context")
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (xs.shape[0],))
 
@@ -132,7 +137,22 @@ class ADMUNet(nn.Module):
         )
 
         res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
-        attn_block = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+        if cfg.spatial_transformer:
+            transformer = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
+
+            def attn_block(n_heads, dtype, name):
+                def apply(x, channels_heads=n_heads):
+                    dim_head = x.shape[-1] // channels_heads
+                    return transformer(
+                        channels_heads, dim_head, cfg.transformer_depth,
+                        dtype=dtype, name=name,
+                    )(x, context.astype(dtype))
+                return apply
+        else:
+            _attn_cls = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+
+            def attn_block(n_heads, dtype, name):
+                return _attn_cls(n_heads, dtype=dtype, name=name)
 
         x = xs.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
         ch = int(cfg.channel_mult[0] * cfg.model_channels)
@@ -153,9 +173,8 @@ class ADMUNet(nn.Module):
                 )(x, emb)
                 if ds in cfg.attention_ds:
                     x = attn_block(
-                        cfg.heads_for(out_ch),
-                        dtype=self.dtype,
-                        name=f"input_blocks_{index}_1",
+                        cfg.heads_for(out_ch), self.dtype,
+                        f"input_blocks_{index}_1",
                     )(x)
                 skips.append(x)
                 index += 1
@@ -186,9 +205,7 @@ class ADMUNet(nn.Module):
         x = res_block(
             ch, cfg.use_scale_shift_norm, dtype=self.dtype, name="middle_block_0"
         )(x, emb)
-        x = attn_block(
-            cfg.heads_for(ch), dtype=self.dtype, name="middle_block_1"
-        )(x)
+        x = attn_block(cfg.heads_for(ch), self.dtype, "middle_block_1")(x)
         x = res_block(
             ch, cfg.use_scale_shift_norm, dtype=self.dtype, name="middle_block_2"
         )(x, emb)
@@ -208,9 +225,8 @@ class ADMUNet(nn.Module):
                 sub = 1
                 if ds in cfg.attention_ds:
                     x = attn_block(
-                        cfg.heads_for(out_ch),
-                        dtype=self.dtype,
-                        name=f"output_blocks_{index}_{sub}",
+                        cfg.heads_for(out_ch), self.dtype,
+                        f"output_blocks_{index}_{sub}",
                     )(x)
                     sub += 1
                 if level and i == cfg.num_res_blocks:

@@ -1,0 +1,205 @@
+"""LDM SuperResolution (BSR "sharpen" model).
+
+Rebuild of reference perceptor/models/latent_diffusion/super_resolution.py:14-172:
+4x upscaler whose conditioning is the LOW-RES image itself (cond stage =
+identity; concat_mode: the UNet input is [latents | LR image in x-space at
+latent resolution], in_channels 6). `upsample` via differentiable resize
+(:66); eta defaults to 1.0. Architecture per models/ldm/bsr_sr/config.yaml.
+
+The reference's convolutional split_input_params tiling (:40-54) is
+unnecessary on TPU: XLA handles full-frame convs; the option is accepted
+and ignored with a note.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perceptor_tpu import utils
+from perceptor_tpu.core.init import init_by_shape
+from perceptor_tpu.models.guided_diffusion.config import ADMConfig
+from perceptor_tpu.models.guided_diffusion.unet import ADMUNet
+from perceptor_tpu.models.latent_diffusion import first_stage
+from perceptor_tpu.models.latent_diffusion.first_stage import VQModel
+from perceptor_tpu.ops.resize import resize
+from perceptor_tpu.predictions import diffusion_space
+from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
+from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
+
+SR_UNET = ADMConfig(
+    image_size=64,
+    model_channels=160,
+    channel_mult=(1, 2, 2, 4),
+    num_res_blocks=2,
+    attention_ds=(8, 16),
+    num_head_channels=32,
+    in_channels=6,
+    out_channels=3,
+)
+
+TINY_SR_UNET = ADMConfig(
+    image_size=8,
+    model_channels=16,
+    channel_mult=(1, 2),
+    num_res_blocks=1,
+    attention_ds=(2,),
+    num_head_channels=8,
+    in_channels=6,
+    out_channels=3,
+)
+
+
+@utils.cache
+class SuperResolution:
+    def __init__(self, eta: float = 1.0, convolutional: bool = False,
+                 kernel_size: int = 128, stride: int = 64,
+                 fp16: bool = True, tiny: bool = False):
+        del convolutional, kernel_size, stride  # XLA full-frame convs
+        self.eta = eta
+        dtype = jnp.bfloat16 if fp16 else jnp.float32
+        self.unet_config = TINY_SR_UNET if tiny else SR_UNET
+        self.vq_config = first_stage.TINY_VQ if tiny else first_stage.VQ_F4
+        self.unet = ADMUNet(self.unet_config, dtype=dtype)
+        self.first_stage = VQModel(self.vq_config, dtype=dtype)
+        self.up_f = self.vq_config.downscale  # 4 for the real vq-f4 stage
+
+        alphas, sigmas = scaled_linear_alphas_sigmas(1000, 0.0015, 0.0155)
+        self.schedule_alphas = jnp.asarray(alphas)
+        self.schedule_sigmas = jnp.asarray(sigmas)
+
+        self.params = self._load_or_init_params()
+        self._jit_eps = jax.jit(
+            lambda params, latents, ts, cond: self.unet.apply(
+                {"params": params["unet"]},
+                jnp.concatenate([latents, cond], axis=1),
+                ts,
+            )
+        )
+        self._jit_decode = jax.jit(
+            lambda params, latents: self.first_stage.apply(
+                {"params": params["first_stage"]}, latents, method=VQModel.decode
+            )
+        )
+
+    def _load_or_init_params(self):
+        path = find_checkpoint("latent_diffusion_super_resolution", "sharpen-colab")
+        if path is not None:
+            from perceptor_tpu.models.guided_diffusion import convert as adm_convert
+
+            sd = load_state_dict(path)
+            unet_sd = {
+                k[len("model.diffusion_model."):]: v
+                for k, v in sd.items()
+                if k.startswith("model.diffusion_model.")
+            }
+            return jax.device_put(
+                {
+                    "unet": adm_convert.from_torch(unet_sd),
+                    "first_stage": first_stage.convert_compvis_autoencoder(
+                        sd, self.vq_config
+                    ),
+                },
+                jax.devices()[0],
+            )
+        size = 8
+        key = jax.random.PRNGKey(0)
+        down = self.vq_config.downscale
+        return {
+            "unet": init_by_shape(
+                self.unet.init, key, jnp.zeros((1, 6, size, size)), jnp.zeros((1,))
+            )["params"],
+            "first_stage": init_by_shape(
+                self.first_stage.init, key, jnp.zeros((1, 3, size * down, size * down))
+            )["params"],
+        }
+
+    # -- reference API --------------------------------------------------------------
+
+    def upsample(self, images):
+        """Differentiable 4x upsample (reference :66-67)."""
+        return resize(images, out_shape=[s * self.up_f for s in images.shape[-2:]])
+
+    def latents(self, images):
+        """images [0,1] HR -> continuous VQ latents (reference :69-94)."""
+        return self.first_stage.apply(
+            {"params": self.params["first_stage"]},
+            diffusion_space.encode(images),
+            method=VQModel.encode,
+        )
+
+    def conditioning(self, images):
+        """The LR image in x-space at latent resolution (reference :96-98;
+        cond stage is identity, concat_mode)."""
+        lr = resize(images, out_shape=[s // self.up_f for s in images.shape[-2:]])
+        return diffusion_space.encode(lr)
+
+    def alphas_cumprod(self, index):
+        return jnp.square(self.schedule_alphas[index])[None, None, None, None]
+
+    def sqrt_one_minus_alphas_cumprod(self, index):
+        return self.schedule_sigmas[index][None, None, None, None]
+
+    def schedule_indices(self, from_index=999, to_index=0, n_steps=None) -> np.ndarray:
+        if from_index < to_index:
+            raise ValueError("from_index must be greater than to_index")
+        if n_steps is None:
+            n_steps = (from_index - to_index) // 2
+        indices = np.linspace(from_index, to_index, n_steps).astype(np.int64)
+        return np.stack([indices[:-1], indices[1:]], axis=1)
+
+    def diffuse(self, latents, index, noise=None, key=None):
+        """q-sample (reference :100-104)."""
+        if noise is None:
+            if key is None:
+                raise ValueError("diffuse is stochastic: pass noise= or key=")
+            noise = jax.random.normal(key, latents.shape, latents.dtype)
+        return (
+            latents * jnp.sqrt(self.alphas_cumprod(index))
+            + noise * self.sqrt_one_minus_alphas_cumprod(index)
+        )
+
+    def eps(self, latents, index, conditioning):
+        if index >= 1000:
+            raise ValueError("index must be less than 1000")
+        ts = jnp.full((latents.shape[0],), index, jnp.float32)
+        return self._jit_eps(self.params, latents, ts, conditioning)
+
+    def denoise(self, latents, conditioning, index, eps=None):
+        """Predict denoised latents (reference :106-119)."""
+        if eps is None:
+            eps = self.eps(latents, index, conditioning)
+        return (
+            latents - self.sqrt_one_minus_alphas_cumprod(index) * eps
+        ) / jnp.sqrt(self.alphas_cumprod(index))
+
+    forward = denoise
+
+    def images(self, latents):
+        """Decode latents -> images [0,1] (reference :121-123)."""
+        return diffusion_space.decode(self._jit_decode(self.params, latents))
+
+    def step(self, from_latents, predicted_denoised_latents, from_index, to_index,
+             noise=None, key=None):
+        if to_index > from_index:
+            raise ValueError("to_index must be smaller than from_index")
+        if noise is None:
+            if key is not None:
+                noise = jax.random.normal(
+                    key, predicted_denoised_latents.shape,
+                    predicted_denoised_latents.dtype,
+                )
+            elif self.eta > 0:
+                raise ValueError("step with eta>0 is stochastic: pass key=")
+            else:
+                noise = jnp.zeros_like(predicted_denoised_latents)
+        from_ac = self.alphas_cumprod(from_index)
+        to_ac = self.alphas_cumprod(to_index)
+        from_sqrt_1m = self.sqrt_one_minus_alphas_cumprod(from_index)
+        to_sigmas = self.eta * jnp.sqrt(
+            (1 - to_ac) / (1 - from_ac) * (1 - from_ac / to_ac)
+        )
+        eps = (from_latents - predicted_denoised_latents * jnp.sqrt(from_ac)) / from_sqrt_1m
+        dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
+        return jnp.sqrt(to_ac) * predicted_denoised_latents + dir_xt + to_sigmas * noise

@@ -39,6 +39,8 @@ class VAEConfig:
     base_channels: int = 128
     channel_mults: Tuple[int, ...] = (1, 2, 4, 4)
     n_res_blocks: int = 2
+    double_z: bool = True  # KL posterior (mean, logvar); False for VQ stages
+    mid_attention: bool = True
     scaling_factor: float = 0.18215  # reference stable_diffusion.py:82-84,188-190
 
     @property

@@ -76,11 +76,13 @@ class AttnBlock(nn.Module):
 class MidBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    use_attention: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = ResnetBlock(self.channels, dtype=self.dtype, name="resnets_0")(x)
-        x = AttnBlock(dtype=self.dtype, name="attentions_0")(x)
+        if self.use_attention:
+            x = AttnBlock(dtype=self.dtype, name="attentions_0")(x)
         return ResnetBlock(self.channels, dtype=self.dtype, name="resnets_1")(x)
 
 
@@ -104,11 +106,15 @@ class Encoder(nn.Module):
                     dtype=self.dtype,
                     name=f"down_blocks_{i}_downsamplers_0_conv",
                 )(x)
-        x = MidBlock(channels[-1], dtype=self.dtype, name="mid_block")(x)
+        x = MidBlock(
+            channels[-1], dtype=self.dtype, use_attention=cfg.mid_attention,
+            name="mid_block",
+        )(x)
         x = group_norm(x, "conv_norm_out")
         x = jax.nn.silu(x)
+        out_ch = (2 if cfg.double_z else 1) * cfg.latent_channels
         return nn.Conv(
-            2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+            out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x.astype(self.dtype))
 
 
@@ -121,7 +127,10 @@ class Decoder(nn.Module):
         cfg = self.config
         channels = cfg.block_channels
         x = nn.Conv(channels[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
-        x = MidBlock(channels[-1], dtype=self.dtype, name="mid_block")(x)
+        x = MidBlock(
+            channels[-1], dtype=self.dtype, use_attention=cfg.mid_attention,
+            name="mid_block",
+        )(x)
         for i, ch in enumerate(reversed(channels)):
             for j in range(cfg.n_res_blocks + 1):
                 x = ResnetBlock(

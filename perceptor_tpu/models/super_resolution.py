@@ -1,0 +1,349 @@
+"""Real-ESRGAN super-resolution models in flax.
+
+Functional spec: reference perceptor/models/super_resolution/ —
+CustomRRDBNet (custom_rrdbnet_arch.py:9-130: residual-dense RRDB trunk,
+pixel-unshuffle for x1/x2, nearest-upsample head, extra conv_up3 for x8),
+SRVGGNetCompact (srvgg_net_compact.py:5-70: plain conv/PReLU body +
+pixel-shuffle + nearest base), the checkpoint table
+(super_resolution.py:13-38), and the UNet spectral-norm discriminator
+(losses/super_resolution/unet_discriminator_sn.py:6-66).
+
+The reference's tiled RealESRGANer.enhance (real_esrganer.py:80) exists to
+fit CUDA memory; on TPU full-frame convs are preferred — `upsample()` runs
+the whole image (XLA handles the memory), keeping the op differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from perceptor_tpu import utils
+from perceptor_tpu.core.init import init_by_shape
+from perceptor_tpu.ops.resize import resize
+from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
+
+CHECKPOINT_CONFIGS = {
+    # name -> (arch, scale, num_block/num_conv)
+    "x2": ("rrdb", 2, 23),
+    "x4": ("rrdb", 4, 23),
+    "x8": ("rrdb", 8, 23),
+    "RealESRGAN_x4plus": ("rrdb", 4, 23),
+    "RealESRNet_x4plus": ("rrdb", 4, 23),
+    "RealESRGAN_x2plus": ("rrdb", 2, 23),
+    "RealESRGAN_x4plus_anime_6B": ("rrdb", 4, 6),
+    "RealESRGANv2-animevideo-xsx2": ("srvgg", 2, 16),
+    "RealESRGANv2-animevideo-xsx4": ("srvgg", 4, 16),
+    "tiny": ("rrdb", 2, 1),
+}
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+def pixel_unshuffle(x, scale):
+    """(N, H, W, C) -> (N, H/s, W/s, C*s*s), torch pixel_unshuffle order."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // scale, scale, w // scale, scale, c)
+    # torch layout: out channel = c * s_h * s_w with (c, sh, sw) ordering
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(n, h // scale, w // scale,
+                                                 c * scale * scale)
+
+
+def pixel_shuffle(x, scale):
+    """(N, H, W, C*s*s) -> (N, H*s, W*s, C), torch PixelShuffle order."""
+    n, h, w, c = x.shape
+    out_c = c // (scale * scale)
+    x = x.reshape(n, h, w, out_c, scale, scale)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(n, h * scale, w * scale, out_c)
+
+
+def _nearest_up(x, factor=2):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * factor, w * factor, c), method="nearest")
+
+
+class ResidualDenseBlock(nn.Module):
+    num_feat: int
+    num_grow_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def conv(name, features, h):
+            return nn.Conv(features, (3, 3), padding=1, dtype=self.dtype, name=name)(h)
+
+        x1 = _lrelu(conv("conv1", self.num_grow_ch, x))
+        x2 = _lrelu(conv("conv2", self.num_grow_ch, jnp.concatenate([x, x1], -1)))
+        x3 = _lrelu(conv("conv3", self.num_grow_ch, jnp.concatenate([x, x1, x2], -1)))
+        x4 = _lrelu(
+            conv("conv4", self.num_grow_ch, jnp.concatenate([x, x1, x2, x3], -1))
+        )
+        x5 = conv("conv5", self.num_feat, jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+
+class RRDB(nn.Module):
+    num_feat: int
+    num_grow_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
+                                 name="rdb1")(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
+                                 name="rdb2")(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
+                                 name="rdb3")(out)
+        return out * 0.2 + x
+
+
+class RRDBNet(nn.Module):
+    """NCHW boundary. scale 1/2 pixel-unshuffle first; 4 = two nearest-up
+    stages; 8 = three."""
+
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        x = images.transpose(0, 2, 3, 1).astype(self.dtype)
+        if self.scale == 2:
+            x = pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            x = pixel_unshuffle(x, 4)
+        feat = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_first")(x)
+        body = feat
+        for i in range(self.num_block):
+            body = RRDB(self.num_feat, self.num_grow_ch, self.dtype,
+                        name=f"body_{i}")(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_body")(body)
+        feat = feat + body
+        feat = _lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                              name="conv_up1")(_nearest_up(feat)))
+        feat = _lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                              name="conv_up2")(_nearest_up(feat)))
+        if self.scale == 8:
+            feat = _lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                                  name="conv_up3")(_nearest_up(feat)))
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv_last")(
+            _lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                           name="conv_hr")(feat))
+        )
+        return out.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
+class SRVGGNetCompact(nn.Module):
+    upscale: int = 4
+    num_feat: int = 64
+    num_conv: int = 16
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        x = images.transpose(0, 2, 3, 1).astype(self.dtype)
+        h = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                    name="body_0")(x)
+        alpha = self.param("prelu_0", nn.initializers.constant(0.25),
+                           (self.num_feat,))
+        h = jnp.where(h >= 0, h, h * alpha)
+        for i in range(self.num_conv):
+            h = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"body_{i + 1}")(h)
+            alpha = self.param(f"prelu_{i + 1}", nn.initializers.constant(0.25),
+                               (self.num_feat,))
+            h = jnp.where(h >= 0, h, h * alpha)
+        h = nn.Conv(self.out_channels * self.upscale**2, (3, 3), padding=1,
+                    dtype=self.dtype, name="body_last")(h)
+        out = pixel_shuffle(h, self.upscale)
+        base = _nearest_up(x, self.upscale)
+        return (out + base).transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
+class UNetDiscriminatorSN(nn.Module):
+    """Spectral-norm UNet discriminator (eval-mode: SN folded into weights
+    by the converter). NCHW -> (N, 1, H, W) logits."""
+
+    num_feat: int = 64
+    skip_connection: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        def conv(name, features, h, kernel=3, stride=1, bias=True):
+            return nn.Conv(
+                features, (kernel, kernel), strides=(stride, stride),
+                padding=(kernel - stride + 1) // 2, use_bias=bias,
+                dtype=self.dtype, name=name,
+            )(h)
+
+        def lrelu(h):
+            return jax.nn.leaky_relu(h, 0.2)
+
+        def up2(h):
+            n, hh, ww, c = h.shape
+            return jax.image.resize(h, (n, hh * 2, ww * 2, c), method="linear")
+
+        x = images.transpose(0, 2, 3, 1).astype(self.dtype)
+        nf = self.num_feat
+        x0 = lrelu(conv("conv0", nf, x))
+        x1 = lrelu(conv("conv1", nf * 2, x0, kernel=4, stride=2, bias=False))
+        x2 = lrelu(conv("conv2", nf * 4, x1, kernel=4, stride=2, bias=False))
+        x3 = lrelu(conv("conv3", nf * 8, x2, kernel=4, stride=2, bias=False))
+        x4 = lrelu(conv("conv4", nf * 4, up2(x3), bias=False))
+        if self.skip_connection:
+            x4 = x4 + x2
+        x5 = lrelu(conv("conv5", nf * 2, up2(x4), bias=False))
+        if self.skip_connection:
+            x5 = x5 + x1
+        x6 = lrelu(conv("conv6", nf, up2(x5), bias=False))
+        if self.skip_connection:
+            x6 = x6 + x0
+        out = lrelu(conv("conv7", nf, x6, bias=False))
+        out = lrelu(conv("conv8", nf, out, bias=False))
+        out = conv("conv9", 1, out)
+        return out.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
+def convert_rrdbnet(state_dict: Dict) -> Dict:
+    """basicsr RRDBNet / CustomRRDBNet state_dict -> flax params."""
+    from perceptor_tpu.models.clip.convert import _np
+
+    sd = state_dict.get("params_ema") or state_dict.get("params") or state_dict
+    params: Dict = {}
+
+    def conv(src):
+        return {
+            "kernel": _np(sd[f"{src}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{src}.bias"]),
+        }
+
+    n_blocks = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("body.")
+    )
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr",
+                 "conv_last"):
+        params[name] = conv(name)
+    if "conv_up3.weight" in sd:
+        params["conv_up3"] = conv("conv_up3")
+    for i in range(n_blocks):
+        block = {}
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            block[rdb] = {
+                f"conv{j}": conv(f"body.{i}.{rdb}.conv{j}") for j in range(1, 6)
+            }
+        params[f"body_{i}"] = block
+    return params
+
+
+def convert_srvgg(state_dict: Dict) -> Dict:
+    from perceptor_tpu.models.clip.convert import _np
+
+    sd = state_dict.get("params") or state_dict
+    params: Dict = {}
+    conv_i = 0
+    prelu_i = 0
+    indices = sorted({int(k.split(".")[1]) for k in sd if k.startswith("body.")})
+    for idx in indices:
+        if f"body.{idx}.weight" in sd and f"body.{idx}.bias" in sd:
+            name = f"body_{conv_i}" if idx != indices[-1] else "body_last"
+            params[name] = {
+                "kernel": _np(sd[f"body.{idx}.weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(sd[f"body.{idx}.bias"]),
+            }
+            conv_i += 1
+        else:  # PReLU weight
+            params[f"prelu_{prelu_i}"] = _np(sd[f"body.{idx}.weight"])
+            prelu_i += 1
+    return params
+
+
+def convert_unet_discriminator(state_dict: Dict) -> Dict:
+    """Folds spectral normalization: w = weight_orig / (u^T W v)."""
+    import numpy as np
+
+    from perceptor_tpu.models.clip.convert import _np
+
+    sd = state_dict.get("params") or state_dict
+    params: Dict = {}
+    for i in range(10):
+        name = f"conv{i}"
+        if f"{name}.weight" in sd:
+            params[name] = {
+                "kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+            }
+            if f"{name}.bias" in sd:
+                params[name]["bias"] = _np(sd[f"{name}.bias"])
+        elif f"{name}.weight_orig" in sd:
+            w = _np(sd[f"{name}.weight_orig"])
+            u = _np(sd[f"{name}.weight_u"])
+            v = _np(sd[f"{name}.weight_v"])
+            sigma = float(u @ w.reshape(w.shape[0], -1) @ v)
+            params[name] = {"kernel": (w / sigma).transpose(2, 3, 1, 0)}
+    return params
+
+
+@utils.cache
+class SuperResolution:
+    """Wrapper mirroring reference super_resolution.py:42-163."""
+
+    def __init__(self, name: str = "x4", half: bool = True):
+        if name not in CHECKPOINT_CONFIGS:
+            raise ValueError(f"unknown super resolution model: {name}")
+        self.name = name
+        arch, scale, blocks = CHECKPOINT_CONFIGS[name]
+        self.scale = scale
+        dtype = jnp.bfloat16 if half else jnp.float32
+        if arch == "rrdb":
+            self.module = RRDBNet(
+                scale=scale, num_block=blocks,
+                num_feat=64 if name != "tiny" else 8,
+                num_grow_ch=32 if name != "tiny" else 8,
+                dtype=dtype,
+            )
+        else:
+            self.module = SRVGGNetCompact(upscale=scale, num_conv=blocks, dtype=dtype)
+        path = find_checkpoint(f"super_resolution_{name}", name)
+        if path is not None:
+            convert = convert_rrdbnet if arch == "rrdb" else convert_srvgg
+            self.params = jax.device_put(
+                convert(load_state_dict(path)), jax.devices()[0]
+            )
+        else:
+            size = 16 * max(1, 4 // scale)
+            self.params = init_by_shape(
+                self.module.init, jax.random.PRNGKey(0), jnp.zeros((1, 3, size, size))
+            )["params"]
+        self._jit = jax.jit(
+            lambda params, images: self.module.apply({"params": params}, images)
+        )
+
+    def upsample(self, images) -> jax.Array:
+        """Full-frame differentiable upsample (reference :148-152; the tiled
+        RealESRGANer path is a CUDA-memory workaround, unnecessary here)."""
+        return self._jit(self.params, images)
+
+    __call__ = upsample
+    forward = upsample
+    enhance = upsample
+
+    def upsample_fn(self, params, images) -> jax.Array:
+        return self.module.apply({"params": params}, images)
+
+    def downsample(self, upsampled_images, size=None) -> jax.Array:
+        if size is None:
+            size = [s // self.scale for s in upsampled_images.shape[-2:]]
+        return resize(upsampled_images, out_shape=size)

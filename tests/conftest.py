@@ -21,5 +21,10 @@ import jax  # noqa: E402
 # var — override it back so unit tests run hermetically on the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# single-core host: persistent compilation cache makes repeat suite runs fast
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_tests")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
