@@ -173,6 +173,10 @@ def convert_compvis_autoencoder(
             encoder[f"down_blocks_{i}_resnets_{j}"] = resnet(
                 f"encoder.down.{i}.block.{j}"
             )
+            if f"encoder.down.{i}.attn.{j}.q.weight" in sd:
+                encoder[f"down_blocks_{i}_attentions_{j}"] = attn(
+                    f"encoder.down.{i}.attn.{j}"
+                )
         if i < n_levels - 1:
             encoder[f"down_blocks_{i}_downsamplers_0_conv"] = conv(
                 f"encoder.down.{i}.downsample.conv"
@@ -191,6 +195,10 @@ def convert_compvis_autoencoder(
             decoder[f"up_blocks_{i}_resnets_{j}"] = resnet(
                 f"decoder.up.{compvis_level}.block.{j}"
             )
+            if f"decoder.up.{compvis_level}.attn.{j}.q.weight" in sd:
+                decoder[f"up_blocks_{i}_attentions_{j}"] = attn(
+                    f"decoder.up.{compvis_level}.attn.{j}"
+                )
         if i < n_levels - 1:
             decoder[f"up_blocks_{i}_upsamplers_0_conv"] = conv(
                 f"decoder.up.{compvis_level}.upsample.conv"

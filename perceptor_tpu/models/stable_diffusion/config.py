@@ -41,6 +41,10 @@ class VAEConfig:
     n_res_blocks: int = 2
     double_z: bool = True  # KL posterior (mean, logvar); False for VQ stages
     mid_attention: bool = True
+    # taming-style per-resolution attention (levels with AttnBlocks after
+    # each resnet); decoder levels are indexed innermost-first
+    encoder_attn_levels: tuple = ()
+    decoder_attn_levels: tuple = ()
     scaling_factor: float = 0.18215  # reference stable_diffusion.py:82-84,188-190
 
     @property

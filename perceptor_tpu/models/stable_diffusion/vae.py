@@ -100,6 +100,10 @@ class Encoder(nn.Module):
                 x = ResnetBlock(
                     ch, dtype=self.dtype, name=f"down_blocks_{i}_resnets_{j}"
                 )(x)
+                if i in cfg.encoder_attn_levels:
+                    x = AttnBlock(
+                        dtype=self.dtype, name=f"down_blocks_{i}_attentions_{j}"
+                    )(x)
             if i < len(channels) - 1:
                 x = nn.Conv(
                     ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
@@ -136,6 +140,10 @@ class Decoder(nn.Module):
                 x = ResnetBlock(
                     ch, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
                 )(x)
+                if i in cfg.decoder_attn_levels:
+                    x = AttnBlock(
+                        dtype=self.dtype, name=f"up_blocks_{i}_attentions_{j}"
+                    )(x)
             if i < len(channels) - 1:
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")

@@ -223,3 +223,48 @@ def resize(
     if out_shape[1] != in_w or scale_factors[1] != 1.0:
         out = jnp.tensordot(out, ww, axes=[[-1], [1]], precision=precision)
     return out
+
+
+@functools.lru_cache(maxsize=256)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Bilinear weight matrix with align_corners=True grid (torch
+    F.interpolate(..., align_corners=True) semantics)."""
+    if out_size == 1 or in_size == 1:
+        matrix = np.zeros((out_size, in_size), dtype=np.float32)
+        matrix[:, 0] = 1.0
+        return matrix
+    positions = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    low = np.floor(positions).astype(np.int64)
+    high = np.minimum(low + 1, in_size - 1)
+    frac = positions - low
+    matrix = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(matrix, (np.arange(out_size), low), 1.0 - frac)
+    np.add.at(matrix, (np.arange(out_size), high), frac)
+    return matrix.astype(np.float32)
+
+
+def interpolate_bilinear(images, out_shape, align_corners: bool = True):
+    """Plain (non-antialiased) bilinear resize of the trailing two dims.
+
+    align_corners=True matches torch F.interpolate used throughout the
+    reference's fusion/upsampling heads (e.g. midas_depth/blocks.py:385-387);
+    align_corners=False falls back to jax.image.resize half-pixel centers.
+    """
+    import jax
+
+    out_shape = tuple(int(s) for s in out_shape[-2:])
+    if not align_corners:
+        return jax.image.resize(
+            images, (*images.shape[:-2], *out_shape), method="linear"
+        )
+    wh = jnp.asarray(_align_corners_matrix(images.shape[-2], out_shape[0]),
+                     dtype=jnp.float32)
+    ww = jnp.asarray(_align_corners_matrix(images.shape[-1], out_shape[1]),
+                     dtype=jnp.float32)
+    dtype = images.dtype
+    precision = jax.lax.Precision.HIGHEST
+    out = jnp.tensordot(images.astype(jnp.float32), wh, axes=[[-2], [1]],
+                        precision=precision)
+    out = jnp.moveaxis(out, -1, -2)
+    out = jnp.tensordot(out, ww, axes=[[-1], [1]], precision=precision)
+    return out.astype(dtype)

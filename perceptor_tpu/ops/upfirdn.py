@@ -74,8 +74,8 @@ def upfirdn2d(
     """(N, C, H, W) -> upsample(up) -> pad -> FIR -> downsample(down).
 
     `padding` is (px0, px1, py0, py1) in reference convention (x = width).
-    Matches reference upfirdn2d ref impl (upfirdn2d.py:167-214) including
-    the up**2 gain on upsampling and non-flipped (correlation) filtering.
+    Matches reference upfirdn2d ref impl (upfirdn2d.py:167-214): gain is
+    applied exactly as given, filtering is correlation (flip_filter=False).
     """
     upx, upy = _as_tuple(up)
     downx, downy = _as_tuple(down)
@@ -94,18 +94,22 @@ def upfirdn2d(
     kh, kw = kernel.shape
 
     n, c, h, w = x.shape
-    gain = gain * upx * upy
+    # gain semantics match the reference exactly: applied as given (callers
+    # like filtered_lrelu pass up**2 themselves, upfirdn2d.py:146)
     kernel = (kernel * gain).astype(jnp.float32)
 
     # depthwise kernel: (kh, kw, 1, C) in HWIO
     dw_kernel = jnp.broadcast_to(kernel[:, :, None, None], (kh, kw, 1, c))
 
     in_dtype = x.dtype
+    # lhs_dilation inserts zeros BETWEEN samples only; the reference
+    # (upfirdn2d.py:167-214) also appends up-1 trailing zeros per sample,
+    # so the high-side padding absorbs them.
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.float32),
         dw_kernel,
         window_strides=(downy, downx),
-        padding=((py0, py1), (px0, px1)),
+        padding=((py0, py1 + (upy - 1)), (px0, px1 + (upx - 1))),
         lhs_dilation=(upy, upx),
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
         feature_group_count=c,
@@ -174,14 +178,14 @@ def fir_upsample_2x(x, kernel: str = "linear", pad_mode: str = "reflect"):
         x, ((0, 0), (0, 0), ((pad + 1) // 2,) * 2, ((pad + 1) // 2,) * 2),
         mode=pad_mode,
     )
-    # conv_transpose(stride 2, padding=pad*2+1) == lhs_dilation 2 conv with
-    # padding k-1-(pad*2+1) per side
+    # conv_transpose(stride 2, padding=pad*2+1) == reference upfirdn with
+    # pad (k-1-P, k-1-P-(up-1)) per axis (the trailing up-1 zeros are part
+    # of upfirdn's upsampling convention)
     conv_pad = k - 1 - (pad * 2 + 1)
     return upfirdn2d(
         x,
         jnp.asarray(np.outer(taps, taps)),
         up=2,
-        padding=(conv_pad, conv_pad, conv_pad, conv_pad),
-        gain=0.25,  # cancel upfirdn2d's up**2 gain (torch convT adds none)
+        padding=(conv_pad, conv_pad - 1, conv_pad, conv_pad - 1),
         flip_filter=True,  # torch conv_transpose2d correlates with flipped taps
     )
