@@ -53,6 +53,10 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         with np.load(path) as data:
             return {k: data[k] for k in data.files}
     if path.endswith(".safetensors"):
+        from perceptor_tpu.utils import native_io
+
+        if native_io.native_available():
+            return native_io.load_safetensors(path)
         try:
             from safetensors.numpy import load_file
 
