@@ -21,9 +21,9 @@ def _fill(path: tuple, shape, dtype, rng: np.random.Generator) -> np.ndarray:
     name = str(path[-1]) if path else ""
     if not shape:  # scalars (e.g. logit_scale)
         return np.asarray(rng.normal(0.0, 1.0), dtype=dtype)
-    if "scale" in name:
+    if "scale" in name or name == "var":  # BN running var must stay > 0
         return np.ones(shape, dtype=dtype)
-    if "bias" in name:
+    if "bias" in name or name == "mean":
         return np.zeros(shape, dtype=dtype)
     fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
     std = 1.0 / np.sqrt(max(fan_in, 1))
