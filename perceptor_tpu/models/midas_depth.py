@@ -8,9 +8,10 @@ transposed-conv resampling), blocks.py (scratch 3x3 convs, residual conv
 units, feature fusion with align-corners bilinear 2x upsampling), and
 dpt_depth.py:85-105 (depth head).
 
-Implemented variant: dpt_large (the reference's default/"highest quality").
-The CNN-backbone variants (dpt_hybrid*, midas_v21*) need ResNet/EfficientNet
-stems and raise NotImplementedError for now.
+Implemented variants: dpt_large (the reference's default/"highest
+quality") and midas_v21 (ResNeXt101-32x8d RefineNet, midas_net.py:12-74 +
+blocks.py:141-258). dpt_hybrid* (ResNetV2-stem hybrid ViT) and
+midas_v21_small (efficientnet_lite3) raise NotImplementedError for now.
 
 Transposed convs with kernel==stride are lowered as dense-matmul pixel
 shuffles (exactly equivalent, MXU-friendly, no conv_transpose pitfalls).
@@ -222,6 +223,131 @@ class DPTDepthModel(nn.Module):
         return x[..., 0].astype(jnp.float32)  # (N, H, W)
 
 
+@dataclasses.dataclass(frozen=True)
+class MidasNetConfig:
+    backbone: "ResNetConfig" = None  # set in __post_init__ default below
+    features: int = 256
+    image_size: int = 384
+
+    def __post_init__(self):
+        if self.backbone is None:
+            from perceptor_tpu.models.resnet import RESNEXT101_32X8D
+
+            object.__setattr__(self, "backbone", RESNEXT101_32X8D)
+
+
+class MidasNet(nn.Module):
+    """MiDaS v2.1 (midas_net.py:12-74): ResNeXt101 trunk, per-stage 3x3
+    scratch convs, v1 FeatureFusionBlocks (blocks.py:228-258 — no out_conv,
+    align-corners 2x upsample), RefineNet-style head. NCHW boundary,
+    ImageNet-normalized input, (N, H, W) depth out."""
+
+    config: MidasNetConfig
+    non_negative: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        from perceptor_tpu.models.resnet import ResNetFeatures
+
+        cfg = self.config
+        feats = ResNetFeatures(cfg.backbone, name="backbone")(
+            images.transpose(0, 2, 3, 1).astype(self.dtype)
+        )
+        rn = [
+            nn.Conv(
+                cfg.features, (3, 3), padding=1, use_bias=False,
+                dtype=self.dtype, name=f"layer{j + 1}_rn",
+            )(feats[j])
+            for j in range(4)
+        ]
+
+        def rcu(x, name):
+            """ResidualConvUnit (blocks.py:193-226). NOTE the reference's
+            relu is inplace=True (:211), so `out + x` at :225 actually adds
+            relu(x) — the residual branch is relu(x), reproduced here."""
+            gated = jax.nn.relu(x)
+            out = nn.Conv(cfg.features, (3, 3), padding=1, dtype=self.dtype,
+                          name=f"{name}_conv1")(gated)
+            out = jax.nn.relu(out)
+            out = nn.Conv(cfg.features, (3, 3), padding=1, dtype=self.dtype,
+                          name=f"{name}_conv2")(out)
+            return out + gated
+
+        def fusion(x, skip, name):
+            """v1 FeatureFusionBlock (blocks.py:228-258)."""
+            if skip is not None:
+                x = x + rcu(skip, f"{name}_rcu1")
+            x = rcu(x, f"{name}_rcu2")
+            n, h, w, c = x.shape
+            x = x.transpose(0, 3, 1, 2)
+            x = interpolate_bilinear(x, (h * 2, w * 2), align_corners=True)
+            return x.transpose(0, 2, 3, 1).astype(self.dtype)
+
+        path = fusion(rn[3], None, "refinenet4")
+        path = fusion(path, rn[2], "refinenet3")
+        path = fusion(path, rn[1], "refinenet2")
+        path = fusion(path, rn[0], "refinenet1")
+
+        # output_conv (midas_net.py:37-44): conv -> non-align-corners 2x
+        # bilinear -> conv -> relu -> conv -> relu
+        x = nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
+                    name="out_conv1")(path)
+        n, h, w, c = x.shape
+        x = interpolate_bilinear(
+            x.transpose(0, 3, 1, 2), (h * 2, w * 2), align_corners=False
+        ).transpose(0, 2, 3, 1).astype(self.dtype)
+        x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                    name="out_conv2")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_conv3")(x)
+        if self.non_negative:
+            x = jax.nn.relu(x)
+        return x[..., 0].astype(jnp.float32)
+
+
+def convert_midas_net(state_dict: Dict, cfg: MidasNetConfig) -> Dict:
+    """midas_v21 checkpoint -> MidasNet params. Backbone keys follow
+    _make_resnet_backbone's regrouping (blocks.py:141-152):
+    pretrained.layer1.{0,1} are the stem conv/bn and pretrained.layer1.4
+    is torchvision layer1."""
+    from perceptor_tpu.models.clip.convert import _np
+    from perceptor_tpu.models.resnet import convert_resnet
+
+    sd = state_dict
+    tv = {}
+    for k, v in sd.items():
+        if k.startswith("pretrained.layer1.0."):
+            tv["conv1." + k[len("pretrained.layer1.0."):]] = v
+        elif k.startswith("pretrained.layer1.1."):
+            tv["bn1." + k[len("pretrained.layer1.1."):]] = v
+        elif k.startswith("pretrained.layer1.4."):
+            tv["layer1." + k[len("pretrained.layer1.4."):]] = v
+        elif k.startswith("pretrained.layer"):
+            tv[k[len("pretrained."):]] = v
+    params: Dict = {"backbone": convert_resnet(tv, cfg.backbone)}
+
+    def conv(name, bias=True):
+        out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = _np(sd[f"{name}.bias"])
+        return out
+
+    for j in range(1, 5):
+        params[f"layer{j}_rn"] = conv(f"scratch.layer{j}_rn", bias=False)
+    for k in range(1, 5):
+        rp = f"scratch.refinenet{k}"
+        if k < 4:  # refinenet4 is called with one input; rcu1 still exists
+            params[f"refinenet{k}_rcu1_conv1"] = conv(f"{rp}.resConfUnit1.conv1")
+            params[f"refinenet{k}_rcu1_conv2"] = conv(f"{rp}.resConfUnit1.conv2")
+        params[f"refinenet{k}_rcu2_conv1"] = conv(f"{rp}.resConfUnit2.conv1")
+        params[f"refinenet{k}_rcu2_conv2"] = conv(f"{rp}.resConfUnit2.conv2")
+    params["out_conv1"] = conv("scratch.output_conv.0")
+    params["out_conv2"] = conv("scratch.output_conv.2")
+    params["out_conv3"] = conv("scratch.output_conv.4")
+    return params
+
+
 def convert_dpt(state_dict: Dict, cfg: DPTConfig) -> Dict:
     """MiDaS dpt_large checkpoint -> flax params."""
     from perceptor_tpu.models.clip.convert import _layernorm, _linear, _np
@@ -283,25 +409,44 @@ def convert_dpt(state_dict: Dict, cfg: DPTConfig) -> Dict:
 @utils.cache
 class MidasDepth:
     def __init__(self, name: str = "dpt_large", optimize: bool = True):
-        """(reference midas_depth.py:30-118). Implemented: dpt_large."""
-        if name not in CHECKPOINT_NAMES:
+        """(reference midas_depth.py:30-118). Implemented: dpt_large,
+        midas_v21 (+ tiny/tiny_v21 test configs)."""
+        if name not in CHECKPOINT_NAMES + ("tiny_v21",):
             raise ValueError(f"midas_model_type '{name}' not implemented")
-        if name not in CONFIGS:
+        dtype = jnp.bfloat16 if optimize else jnp.float32
+        is_v21 = name in ("midas_v21", "tiny_v21")
+        if not is_v21 and name not in CONFIGS:
             raise NotImplementedError(
-                f"{name} needs a CNN backbone (ResNet/EfficientNet stem) — "
-                "only the dpt_large ViT variant is implemented"
+                f"{name} needs a hybrid-ViT/efficientnet-lite stem — "
+                "implemented variants are dpt_large and midas_v21"
             )
         self.name = name
-        cfg = CONFIGS[name]
+        if is_v21:
+            from perceptor_tpu.models.resnet import TINY_RESNEXT
+
+            cfg = (
+                MidasNetConfig(backbone=TINY_RESNEXT, features=8,
+                               image_size=64)
+                if name == "tiny_v21"
+                else MidasNetConfig()
+            )
+            self.module = MidasNet(cfg, dtype=dtype)
+            # (midas_depth.py:85-91): v21 uses ImageNet normalization
+            self.mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+            self.std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+            convert = convert_midas_net
+        else:
+            cfg = CONFIGS[name]
+            self.module = DPTDepthModel(cfg, dtype=dtype)
+            self.mean = jnp.full((1, 3, 1, 1), 0.5)
+            self.std = jnp.full((1, 3, 1, 1), 0.5)
+            convert = convert_dpt
         self.config = cfg
         self.image_size = (cfg.image_size, cfg.image_size)
-        self.module = DPTDepthModel(
-            cfg, dtype=jnp.bfloat16 if optimize else jnp.float32
-        )
         path = find_checkpoint(f"midas_{name}", name)
         if path is not None:
             self.params = jax.device_put(
-                convert_dpt(load_state_dict(path), cfg), jax.devices()[0]
+                convert(load_state_dict(path), cfg), jax.devices()[0]
             )
         else:
             self.params = init_by_shape(
@@ -312,10 +457,10 @@ class MidasDepth:
         self._jit = jax.jit(self.forward_fn)
 
     def forward_fn(self, params, images):
-        """(reference :121-128): resize, [0.5] normalize, NEGATED depth."""
+        """(reference :121-128): resize, normalize, NEGATED depth."""
         if images.shape[-2:] != self.image_size:
             images = resize(images, out_shape=self.image_size)
-        images = (images - 0.5) / 0.5
+        images = (images - self.mean) / self.std
         depth = self.module.apply({"params": params}, images)
         return -depth[:, None]  # (N, 1, H, W)
 

@@ -243,24 +243,35 @@ def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
     return matrix.astype(np.float32)
 
 
-def interpolate_bilinear(images, out_shape, align_corners: bool = True):
-    """Plain (non-antialiased) bilinear resize of the trailing two dims.
+def _half_pixel_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Bilinear weight matrix with half-pixel centers and edge clamping
+    (torch F.interpolate(..., align_corners=False) semantics)."""
+    positions = (
+        (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size
+        - 0.5
+    )
+    positions = np.maximum(positions, 0.0)
+    low = np.minimum(np.floor(positions).astype(np.int64), in_size - 1)
+    high = np.minimum(low + 1, in_size - 1)
+    frac = positions - low
+    matrix = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(matrix, (np.arange(out_size), low), 1.0 - frac)
+    np.add.at(matrix, (np.arange(out_size), high), frac)
+    return matrix.astype(np.float32)
 
-    align_corners=True matches torch F.interpolate used throughout the
-    reference's fusion/upsampling heads (e.g. midas_depth/blocks.py:385-387);
-    align_corners=False falls back to jax.image.resize half-pixel centers.
+
+def interpolate_bilinear(images, out_shape, align_corners: bool = True):
+    """Plain (non-antialiased) bilinear resize of the trailing two dims,
+    matching torch F.interpolate(mode="bilinear") for both align_corners
+    settings (used throughout the reference's fusion/upsampling heads,
+    e.g. midas_depth/blocks.py:385-387, midas_net.py:37-44).
     """
     import jax
 
     out_shape = tuple(int(s) for s in out_shape[-2:])
-    if not align_corners:
-        return jax.image.resize(
-            images, (*images.shape[:-2], *out_shape), method="linear"
-        )
-    wh = jnp.asarray(_align_corners_matrix(images.shape[-2], out_shape[0]),
-                     dtype=jnp.float32)
-    ww = jnp.asarray(_align_corners_matrix(images.shape[-1], out_shape[1]),
-                     dtype=jnp.float32)
+    make = _align_corners_matrix if align_corners else _half_pixel_matrix
+    wh = jnp.asarray(make(images.shape[-2], out_shape[0]), dtype=jnp.float32)
+    ww = jnp.asarray(make(images.shape[-1], out_shape[1]), dtype=jnp.float32)
     dtype = images.dtype
     precision = jax.lax.Precision.HIGHEST
     out = jnp.tensordot(images.astype(jnp.float32), wh, axes=[[-2], [1]],
