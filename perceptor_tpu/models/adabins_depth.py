@@ -76,6 +76,9 @@ class EfficientNetConfig:
     blocks: Tuple[BlockSpec, ...] = B5_BLOCKS
     se_ratio: float = 0.25
     bn_eps: float = 1e-3
+    activation: str = "silu"  # "relu6" for lite variants
+    use_se: bool = True  # lite variants drop squeeze-excite
+    include_head: bool = True  # MiDaS-small taps stop before conv_head
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,67 +156,79 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+def _act(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "relu6":
+        return lambda x: jnp.minimum(jax.nn.relu(x), 6.0)
+    raise ValueError(f"unknown efficientnet activation: {name}")
+
+
 class DepthwiseSeparable(nn.Module):
-    """gen-efficientnet DepthwiseSeparableConv: dw -> bn -> act -> SE ->
+    """gen-efficientnet DepthwiseSeparableConv: dw -> bn -> act -> [SE] ->
     pw -> bn (no final activation), residual when shapes allow."""
 
     spec: BlockSpec
     in_channels: int
-    se_ratio: float
-    bn_eps: float
+    config: EfficientNetConfig
 
     @nn.compact
     def __call__(self, x):
+        cfg = self.config
+        act = _act(cfg.activation)
         c_in = x.shape[-1]
         h = nn.Conv(
             c_in, (self.spec.kernel, self.spec.kernel),
             strides=self.spec.stride, padding="SAME",
             feature_group_count=c_in, use_bias=False, name="conv_dw",
         )(x)
-        h = FrozenBatchNorm(self.bn_eps, name="bn1")(h)
-        h = jax.nn.silu(h)
-        h = SqueezeExcite(
-            max(1, int(self.in_channels * self.se_ratio)), name="se"
-        )(h)
+        h = FrozenBatchNorm(cfg.bn_eps, name="bn1")(h)
+        h = act(h)
+        if cfg.use_se:
+            h = SqueezeExcite(
+                max(1, int(self.in_channels * cfg.se_ratio)), name="se"
+            )(h)
         h = nn.Conv(
             self.spec.channels, (1, 1), use_bias=False, name="conv_pw"
         )(h)
-        h = FrozenBatchNorm(self.bn_eps, name="bn2")(h)
+        h = FrozenBatchNorm(cfg.bn_eps, name="bn2")(h)
         if self.spec.stride == 1 and c_in == self.spec.channels:
             h = h + x
         return h
 
 
 class InvertedResidual(nn.Module):
-    """gen-efficientnet InvertedResidual (MBConv): pw-expand -> dw -> SE ->
-    pw-linear, residual when stride 1 and channels match."""
+    """gen-efficientnet InvertedResidual (MBConv): pw-expand -> dw -> [SE]
+    -> pw-linear, residual when stride 1 and channels match."""
 
     spec: BlockSpec
     in_channels: int
-    se_ratio: float
-    bn_eps: float
+    config: EfficientNetConfig
 
     @nn.compact
     def __call__(self, x):
+        cfg = self.config
+        act = _act(cfg.activation)
         c_in = x.shape[-1]
         mid = c_in * self.spec.expand
         h = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(x)
-        h = FrozenBatchNorm(self.bn_eps, name="bn1")(h)
-        h = jax.nn.silu(h)
+        h = FrozenBatchNorm(cfg.bn_eps, name="bn1")(h)
+        h = act(h)
         h = nn.Conv(
             mid, (self.spec.kernel, self.spec.kernel),
             strides=self.spec.stride, padding="SAME",
             feature_group_count=mid, use_bias=False, name="conv_dw",
         )(h)
-        h = FrozenBatchNorm(self.bn_eps, name="bn2")(h)
-        h = jax.nn.silu(h)
-        h = SqueezeExcite(
-            max(1, int(self.in_channels * self.se_ratio)), name="se"
-        )(h)
+        h = FrozenBatchNorm(cfg.bn_eps, name="bn2")(h)
+        h = act(h)
+        if cfg.use_se:
+            h = SqueezeExcite(
+                max(1, int(self.in_channels * cfg.se_ratio)), name="se"
+            )(h)
         h = nn.Conv(
             self.spec.channels, (1, 1), use_bias=False, name="conv_pwl"
         )(h)
-        h = FrozenBatchNorm(self.bn_eps, name="bn3")(h)
+        h = FrozenBatchNorm(cfg.bn_eps, name="bn3")(h)
         if self.spec.stride == 1 and c_in == self.spec.channels:
             h = h + x
         return h
@@ -243,7 +258,7 @@ class EfficientNetFeatures(nn.Module):
         emit(h)
         h = FrozenBatchNorm(cfg.bn_eps, name="bn1")(h)
         emit(h)
-        h = jax.nn.silu(h)
+        h = _act(cfg.activation)(h)
         emit(h)
         in_ch = cfg.stem_channels
         for s, spec in enumerate(cfg.blocks):
@@ -252,16 +267,14 @@ class EfficientNetFeatures(nn.Module):
                     spec, stride=1
                 )
                 cls = DepthwiseSeparable if spec.kind == "ds" else InvertedResidual
-                h = cls(
-                    block_spec, in_ch, cfg.se_ratio, cfg.bn_eps,
-                    name=f"blocks_{s}_{i}",
-                )(h)
+                h = cls(block_spec, in_ch, cfg, name=f"blocks_{s}_{i}")(h)
                 in_ch = spec.channels
             emit(h)
-        h = nn.Conv(
-            cfg.head_channels, (1, 1), use_bias=False, name="conv_head"
-        )(h)
-        emit(h)
+        if cfg.include_head:
+            h = nn.Conv(
+                cfg.head_channels, (1, 1), use_bias=False, name="conv_head"
+            )(h)
+            emit(h)
         return features
 
 
@@ -437,6 +450,57 @@ def _np(tensor) -> np.ndarray:
     )
 
 
+def convert_efficientnet(
+    sd: Dict, prefix: str, config: EfficientNetConfig
+) -> Dict:
+    """gen-efficientnet state dict (keys ``{prefix}.conv_stem.weight``,
+    ``{prefix}.blocks.{s}.{i}.*``, ...) -> EfficientNetFeatures params."""
+
+    def conv(name, depthwise=False):
+        w = _np(sd[f"{name}.weight"])
+        kernel = w.transpose(2, 3, 1, 0)
+        out = {"kernel": kernel}
+        if f"{name}.bias" in sd:
+            out["bias"] = _np(sd[f"{name}.bias"])
+        return out
+
+    def bn(name):
+        return {
+            "scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"]),
+            "mean": _np(sd[f"{name}.running_mean"]),
+            "var": _np(sd[f"{name}.running_var"]),
+        }
+
+    encoder = {
+        "conv_stem": conv(f"{prefix}.conv_stem"),
+        "bn1": bn(f"{prefix}.bn1"),
+    }
+    if config.include_head:
+        encoder["conv_head"] = conv(f"{prefix}.conv_head")
+    for s, spec in enumerate(config.blocks):
+        for i in range(spec.count):
+            t = f"{prefix}.blocks.{s}.{i}"
+            block = {"conv_dw": conv(f"{t}.conv_dw", depthwise=True)}
+            if config.use_se:
+                block["se"] = {
+                    "conv_reduce": conv(f"{t}.se.conv_reduce"),
+                    "conv_expand": conv(f"{t}.se.conv_expand"),
+                }
+            if spec.kind == "ds":
+                block["bn1"] = bn(f"{t}.bn1")
+                block["conv_pw"] = conv(f"{t}.conv_pw")
+                block["bn2"] = bn(f"{t}.bn2")
+            else:
+                block["conv_pw"] = conv(f"{t}.conv_pw")
+                block["bn1"] = bn(f"{t}.bn1")
+                block["bn2"] = bn(f"{t}.bn2")
+                block["conv_pwl"] = conv(f"{t}.conv_pwl")
+                block["bn3"] = bn(f"{t}.bn3")
+            encoder[f"blocks_{s}_{i}"] = block
+    return encoder
+
+
 def convert_adabins(state_dict: Dict, config: AdaBinsConfig) -> Dict:
     """AdaBins checkpoint (model_io strips the DataParallel ``module.``
     prefix; keys encoder.original_model.* / decoder.* /
@@ -476,32 +540,7 @@ def convert_adabins(state_dict: Dict, config: AdaBinsConfig) -> Dict:
     if f"{enc_prefix}.conv_stem.weight" not in sd:
         encoder = None
     else:
-        encoder = {
-            "conv_stem": conv(f"{enc_prefix}.conv_stem"),
-            "bn1": bn(f"{enc_prefix}.bn1"),
-            "conv_head": conv(f"{enc_prefix}.conv_head"),
-        }
-    for s, spec in enumerate(config.encoder.blocks if encoder else ()):
-        for i in range(spec.count):
-            t = f"{enc_prefix}.blocks.{s}.{i}"
-            block = {
-                "conv_dw": conv(f"{t}.conv_dw", depthwise=True),
-                "se": {
-                    "conv_reduce": conv(f"{t}.se.conv_reduce"),
-                    "conv_expand": conv(f"{t}.se.conv_expand"),
-                },
-            }
-            if spec.kind == "ds":
-                block["bn1"] = bn(f"{t}.bn1")
-                block["conv_pw"] = conv(f"{t}.conv_pw")
-                block["bn2"] = bn(f"{t}.bn2")
-            else:
-                block["conv_pw"] = conv(f"{t}.conv_pw")
-                block["bn1"] = bn(f"{t}.bn1")
-                block["bn2"] = bn(f"{t}.bn2")
-                block["conv_pwl"] = conv(f"{t}.conv_pwl")
-                block["bn3"] = bn(f"{t}.bn3")
-            encoder[f"blocks_{s}_{i}"] = block
+        encoder = convert_efficientnet(sd, enc_prefix, config.encoder)
 
     def upsample(name):
         return {

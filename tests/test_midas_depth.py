@@ -57,5 +57,3 @@ def test_midas_tiny_forward_and_grad():
 def test_midas_rejects_unknown_and_unimplemented():
     with pytest.raises(ValueError):
         MidasDepth("nope")
-    with pytest.raises(NotImplementedError):
-        MidasDepth("dpt_hybrid")
