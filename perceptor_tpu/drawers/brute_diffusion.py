@@ -37,6 +37,17 @@ class BruteDiffusion(DrawingInterface):
         ts = jnp.full((params.shape[0],), self.t)
         return self.model.predictions(params, ts).denoised_images
 
+    @property
+    def model_params(self):
+        return self.model.params
+
+    def synthesize_fn(self, model_params, params):
+        """Pure synthesize: UNet weights as an argument (engine-safe)."""
+        ts = jnp.full((params.shape[0],), self.t)
+        return self.model.predictions_fn(
+            model_params, params, ts
+        ).denoised_images
+
     def encode(self, images, noise=None, key=None):
         return self.model.diffuse(images, self.t, noise=noise, key=key)
 

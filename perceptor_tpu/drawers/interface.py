@@ -18,6 +18,9 @@ from __future__ import annotations
 
 class DrawingInterface:
     params = None
+    #: frozen decoder weights threaded by the engine as jit arguments
+    #: (engine/guidance.py _gather_frozen); None when the drawer has none
+    model_params = None
 
     def __call__(self, params=None):
         return self.synthesize(params)

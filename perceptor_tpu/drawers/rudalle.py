@@ -219,6 +219,12 @@ class BruteRuDalle(DrawingInterface):
         params = params if params is not None else self.params
         return self.decode(params)
 
+    def synthesize_fn(self, model_params, params):
+        """Pure synthesize: VQGAN weights as an argument (engine-safe)."""
+        return self.module.apply(
+            {"params": model_params}, params, method=GumbelVQGAN.decode
+        )
+
     def encode(self, images):
         """images [0,1] -> quantized latents (reference :18-20)."""
         return self._jit_encode(self.model_params, images * 2.0 - 1.0)

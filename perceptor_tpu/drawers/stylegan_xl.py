@@ -22,6 +22,14 @@ class StyleGANXL(DrawingInterface):
         params = params if params is not None else self.params
         return self.model.synthesis_fn(self.model.params, params)
 
+    @property
+    def model_params(self):
+        return self.model.params
+
+    def synthesize_fn(self, model_params, params):
+        """Pure synthesize: generator weights as an argument (engine-safe)."""
+        return self.model.synthesis_fn(model_params, params)
+
     def encode(self, images):
         raise NotImplementedError(
             "StyleGAN-XL inversion is not supported (reference drawer has no "

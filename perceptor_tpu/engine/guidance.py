@@ -22,32 +22,80 @@ import jax.numpy as jnp
 import optax
 
 
+def _gather_frozen(synthesize, losses):
+    """Collect every frozen-weights pytree the step reads, so it can be
+    passed as a jit ARGUMENT. Closing over concrete device arrays inside
+    an outer jit bakes them into the executable as constants — for
+    multi-GB towers that is both an oversized compile payload and, through
+    remote runtimes, a per-call re-upload. Losses expose
+    `(apply, loss_params)` (losses/prompt_bank.py) and drawers may expose
+    `(synthesize_fn, model_params)`; plain callables still work, they just
+    forgo the protection."""
+    synth_fn = getattr(synthesize, "synthesize_fn", None)
+    synth_frozen = getattr(synthesize, "model_params", None)
+    if synth_fn is None:
+        synth_fn, synth_frozen = None, None
+    loss_fns = []
+    loss_frozen = []
+    for loss in losses:
+        apply_fn = getattr(loss, "apply", None)
+        params = getattr(loss, "loss_params", None)
+        if apply_fn is not None and params is not None:
+            loss_fns.append(apply_fn)
+            loss_frozen.append(params)
+        else:
+            loss_fns.append(None)
+            loss_frozen.append(None)
+    return synth_fn, synth_frozen, loss_fns, tuple(loss_frozen)
+
+
 def make_guidance_step(
-    synthesize: Callable,
+    synthesize,
     losses: Sequence[Callable],
     optimizer: optax.GradientTransformation,
     loss_weights: Optional[Sequence[float]] = None,
 ):
-    """Returns jitted `step(params, opt_state) -> (params, opt_state, aux)`.
+    """Returns (jitted step, frozen) where
+    `step(params, opt_state, frozen) -> (params, opt_state, aux)`.
 
-    `synthesize(params) -> images`; each loss maps images -> scalar.
+    `synthesize` is a drawer (preferred: its model weights are threaded
+    through `frozen`) or a plain `params -> images` callable; each loss
+    maps images -> scalar (prompt-bank losses thread their tower weights
+    through `frozen` too).
     """
     weights = list(loss_weights) if loss_weights is not None else [1.0] * len(losses)
+    synth_fn, synth_frozen, loss_fns, loss_frozen = _gather_frozen(
+        synthesize, losses
+    )
+    synth_plain = (
+        synthesize.synthesize if hasattr(synthesize, "synthesize") else synthesize
+    )
 
-    def total_loss(params):
-        images = synthesize(params)
-        values = jnp.stack([loss(images) for loss in losses])
+    def total_loss(params, frozen):
+        synth_p, loss_p = frozen
+        if synth_fn is not None:
+            images = synth_fn(synth_p, params)
+        else:
+            images = synth_plain(params)
+        values = []
+        for loss, apply_fn, lp in zip(losses, loss_fns, loss_p):
+            values.append(
+                apply_fn(lp, images) if apply_fn is not None else loss(images)
+            )
+        values = jnp.stack(values)
         total = jnp.sum(values * jnp.asarray(weights))
         return total, values
 
     @jax.jit
-    def step(params, opt_state):
-        (loss, values), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+    def step(params, opt_state, frozen):
+        (loss, values), grads = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(params, frozen)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "losses": values}
 
-    return step
+    return step, (synth_frozen, loss_frozen)
 
 
 def optimize(
@@ -63,12 +111,12 @@ def optimize(
     Returns (drawer, history of total losses).
     """
     optimizer = optimizer or optax.adam(0.05)
-    step = make_guidance_step(drawer.synthesize, losses, optimizer, loss_weights)
+    step, frozen = make_guidance_step(drawer, losses, optimizer, loss_weights)
     params = drawer.params
     opt_state = optimizer.init(params)
     history = []
     for i in range(n_steps):
-        params, opt_state, aux = step(params, opt_state)
+        params, opt_state, aux = step(params, opt_state, frozen)
         history.append(aux["loss"])
         if callback is not None:
             callback(i, params, aux)
@@ -77,7 +125,7 @@ def optimize(
 
 
 def run_on_device(
-    synthesize: Callable,
+    synthesize,
     losses: Sequence[Callable],
     params,
     n_steps: int,
@@ -87,22 +135,38 @@ def run_on_device(
     """Whole optimization as ONE compiled program (lax.scan over steps).
 
     No host round-trips: returns (final_params, per-step total loss array).
+    Frozen model weights (drawer + loss towers) are threaded as arguments,
+    never baked as constants (see _gather_frozen).
     """
     optimizer = optimizer or optax.adam(0.05)
     weights = list(loss_weights) if loss_weights is not None else [1.0] * len(losses)
+    synth_fn, synth_frozen, loss_fns, loss_frozen = _gather_frozen(
+        synthesize, losses
+    )
+    synth_plain = (
+        synthesize.synthesize if hasattr(synthesize, "synthesize") else synthesize
+    )
 
-    def total_loss(p):
-        images = synthesize(p)
-        values = jnp.stack([loss(images) for loss in losses])
-        return jnp.sum(values * jnp.asarray(weights))
+    def total_loss(p, frozen):
+        synth_p, loss_p = frozen
+        if synth_fn is not None:
+            images = synth_fn(synth_p, p)
+        else:
+            images = synth_plain(p)
+        values = []
+        for loss, apply_fn, lp in zip(losses, loss_fns, loss_p):
+            values.append(
+                apply_fn(lp, images) if apply_fn is not None else loss(images)
+            )
+        return jnp.sum(jnp.stack(values) * jnp.asarray(weights))
 
     @jax.jit
-    def run(params):
+    def run(params, frozen):
         opt_state = optimizer.init(params)
 
         def body(carry, _):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(total_loss)(params)
+            loss, grads = jax.value_and_grad(total_loss)(params, frozen)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -112,4 +176,4 @@ def run_on_device(
         )
         return params, losses_history
 
-    return run(params)
+    return run(params, (synth_frozen, loss_frozen))

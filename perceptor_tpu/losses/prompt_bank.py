@@ -85,3 +85,28 @@ class PromptBankLoss(LossInterface):
         image_encodings = self.image_encodings(images)
         distances = spherical_distance_squared(image_encodings, self.encodings)
         return jnp.mean(distances * self.bank_weights) * self.multiplier
+
+    # -- pure path (engine): params threaded as jit args, never closed
+    # over, so an outer jit doesn't bake the tower weights as constants --
+
+    @property
+    def loss_params(self):
+        """Pytree of everything `apply` reads: tower weights + the bank."""
+        return {
+            "model": getattr(self.model, "params", None),
+            "encodings": self.encodings,
+            "weights": self.bank_weights,
+        }
+
+    def apply(self, loss_params, images) -> jax.Array:
+        """Pure loss: like `forward` but reading state from `loss_params`."""
+        encode = getattr(self.model, "encode_images_fn", None)
+        if encode is not None and loss_params["model"] is not None:
+            # encode_images_fn returns pre-normalization encodings
+            image_encodings = _l2_normalize(encode(loss_params["model"], images))
+        else:
+            image_encodings = self.image_encodings(images)
+        distances = spherical_distance_squared(
+            image_encodings, loss_params["encodings"]
+        )
+        return jnp.mean(distances * loss_params["weights"]) * self.multiplier

@@ -126,6 +126,21 @@ class VelocityDiffusion:
 
     forward = predictions
 
+    def predictions_fn(
+        self, params, diffused_images, ts, conditioning=None
+    ) -> VelocityPredictions:
+        """Pure `predictions` (params as an argument, jit/engine-safe)."""
+        ts = jnp.asarray(ts, dtype=jnp.float32)
+        if ts.ndim == 0:
+            ts = jnp.broadcast_to(ts, (diffused_images.shape[0],))
+        return VelocityPredictions(
+            from_diffused_images=diffused_images,
+            from_ts=ts,
+            velocities=self._velocities_fn(
+                params, diffused_images, ts, conditioning
+            ),
+        )
+
     def conditioning(self, texts=None, images=None, encodings=None) -> jax.Array:
         """Mean of CLIP text/image/raw encodings (reference :123-135)."""
         from perceptor_tpu import models
