@@ -81,6 +81,7 @@ TINY_UNET = UNetConfig(
     n_heads=2,
     context_dim=32,  # == TINY_TEXT.width
 )
+TINY_INPAINT_UNET = dataclasses.replace(TINY_UNET, in_channels=9)
 TINY_VAE = VAEConfig(base_channels=16, channel_mults=(1, 2), n_res_blocks=1)
 TINY_TEXT = TextConfig(vocab_size=128, width=32, layers=2, heads=2, context_length=16)
 

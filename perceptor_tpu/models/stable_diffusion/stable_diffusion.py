@@ -37,6 +37,86 @@ from perceptor_tpu.predictions import LatentIndexedEpsPredictions
 from perceptor_tpu.schedules import indexed_schedule, scaled_linear_alphas_sigmas
 from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
 
+INPAINTING_NAME = "runwayml/stable-diffusion-inpainting"
+
+
+@jax.tree_util.register_pytree_node_class
+class Conditioning:
+    """Conditioning bundle (reference conditioning.py:6-44): text encoder
+    states plus, for the inpainting checkpoint, the latent mask and the
+    masked-image latents that extend the UNet input to 9 channels."""
+
+    def __init__(self, model_name, encodings, inpainting_latent_masks=None,
+                 inpainting_latents=None):
+        self.model_name = model_name
+        self.encodings = encodings
+        self.inpainting_latent_masks = inpainting_latent_masks
+        self.inpainting_latents = inpainting_latents
+
+    def __neg__(self):
+        """(conditioning.py:24-29)."""
+        return Conditioning(
+            self.model_name, -self.encodings,
+            self.inpainting_latent_masks, self.inpainting_latents,
+        )
+
+    def input(self, diffused_latents):
+        """UNet input assembly (conditioning.py:31-40): the inpainting
+        model concatenates [latents, binarized mask, masked latents].
+        (Keyed on field presence rather than the checkpoint name so tiny
+        test configs behave identically.)"""
+        if self.inpainting_latent_masks is None:
+            return diffused_latents
+        masks = (self.inpainting_latent_masks >= 0.5).astype(jnp.float32)
+        n = diffused_latents.shape[0]
+        return jnp.concatenate(
+            [
+                diffused_latents,
+                jnp.broadcast_to(masks, (n, *masks.shape[1:])),
+                jnp.broadcast_to(
+                    self.inpainting_latents,
+                    (n, *self.inpainting_latents.shape[1:]),
+                ),
+            ],
+            axis=1,
+        )
+
+    def tree_flatten(self):
+        return (
+            (self.encodings, self.inpainting_latent_masks,
+             self.inpainting_latents),
+            self.model_name,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, model_name, children):
+        return cls(model_name, *children)
+
+
+def _gaussian_blur(images, sigma: float):
+    """kornia.filters.gaussian_blur2d semantics (reference :337-338):
+    kernel size int(sigma*2)+1, normalized gaussian, reflect padding."""
+    ks = int(sigma * 2) + 1
+    xs = np.arange(ks, dtype=np.float64) - (ks - 1) / 2.0
+    kernel1d = np.exp(-0.5 * (xs / sigma) ** 2)
+    kernel1d = (kernel1d / kernel1d.sum()).astype(np.float32)
+    pad = ks // 2
+    c = images.shape[1]
+    kh = jnp.asarray(kernel1d).reshape(1, 1, ks, 1)
+    kv = jnp.asarray(kernel1d).reshape(1, 1, 1, ks)
+    out = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        out, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), "VALID",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (pad, pad)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        out, jnp.tile(kv, (c, 1, 1, 1)), (1, 1), "VALID",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
 
 @utils.cache
 class StableDiffusion:
@@ -50,12 +130,16 @@ class StableDiffusion:
         """Args mirror reference stable_diffusion.py:33-41 (`fp16` maps to
         bf16 compute on TPU; `attention_slicing` is unnecessary — remat +
         flash attention cover the memory pressure)."""
-        if name not in sd_config.MODEL_CONFIGS and name != "tiny":
+        if name not in sd_config.MODEL_CONFIGS and name not in (
+            "tiny", "tiny-inpainting"
+        ):
             raise ValueError(f"unknown stable diffusion name: {name}")
         self.name = name
-        if name == "tiny":
+        if name in ("tiny", "tiny-inpainting"):
             unet_cfg, vae_cfg, text_cfg = (
-                sd_config.TINY_UNET,
+                sd_config.TINY_UNET
+                if name == "tiny"
+                else sd_config.TINY_INPAINT_UNET,
                 sd_config.TINY_VAE,
                 sd_config.TINY_TEXT,
             )
@@ -87,6 +171,14 @@ class StableDiffusion:
         self._jit_unet = jax.jit(
             lambda params, latents, indices, context: self.unet.apply(
                 {"params": params["unet"]}, latents, indices, context
+            )
+        )
+        self._jit_unet_conditioned = jax.jit(
+            lambda params, latents, indices, cond: self.unet.apply(
+                {"params": params["unet"]},
+                cond.input(latents),
+                indices,
+                cond.encodings,
             )
         )
         self._jit_text = jax.jit(
@@ -125,7 +217,7 @@ class StableDiffusion:
                 self.vae_config,
                 self.text_config,
             )
-        size = 64 if self.name != "tiny" else 16
+        size = 16 if self.name.startswith("tiny") else 64
         latent = jnp.zeros(
             (1, self.unet_config.in_channels, size, size), jnp.float32
         )
@@ -179,10 +271,16 @@ class StableDiffusion:
     # -- pure functions (fused-step building blocks) --------------------------------
 
     def predicted_noise_fn(self, params, diffused_latents, indices, conditioning):
-        """UNet forward: the reference's `predicted_noise` (:262-273)."""
+        """UNet forward: the reference's `predicted_noise` (:262-273).
+        `conditioning` is encoder states or a `Conditioning` (inpainting:
+        the 9-channel input is assembled inside the jitted call)."""
         indices = jnp.asarray(indices)
         if indices.ndim == 0:
             indices = jnp.broadcast_to(indices, (diffused_latents.shape[0],))
+        if isinstance(conditioning, Conditioning):
+            return self._jit_unet_conditioned(
+                params, diffused_latents, indices, conditioning
+            )
         return self._jit_unet(params, diffused_latents, indices, conditioning)
 
     def encode_fn(self, params, images, key=None):
@@ -225,12 +323,57 @@ class StableDiffusion:
     def decode(self, latents):
         return self.decode_fn(self.params, latents)
 
-    def conditioning(self, texts: Sequence[str]) -> jax.Array:
-        """texts -> (N, 77, width) encoder states (reference :295-323)."""
+    def latent_masks(self, masks, blur: Optional[float] = 4.0) -> jax.Array:
+        """masks (N,1,H,W) in [0,1] -> blurred latent-res masks
+        (reference :325-341: kornia gaussian blur + bilinear /8)."""
+        from perceptor_tpu.ops.resize import interpolate_bilinear
+
+        masks = jnp.asarray(masks, jnp.float32)
+        n, c, h, w = masks.shape
+        self._check_size((h, w))
+        if c != 1:
+            raise ValueError("Masks must be 1-channel")
+        if float(masks.max()) > 1 or float(masks.min()) < 0:
+            raise ValueError("Masks must be between 0 and 1")
+        if blur is not None and blur > 0:
+            masks = _gaussian_blur(masks, blur)
+        down = self.vae_config.downscale
+        return interpolate_bilinear(
+            masks, (h // down, w // down), align_corners=False
+        )
+
+    def conditioning(
+        self,
+        texts: Sequence[str],
+        inpainting_masks=None,
+        inpainting_images=None,
+        mask_blur: float = 4.0,
+    ):
+        """texts -> (N, 77, width) encoder states (reference :295-323).
+
+        For the inpainting checkpoint (reference :343-375) returns a
+        `Conditioning` carrying the latent mask and masked-image latents;
+        other checkpoints return the raw encoder states.
+        """
         tokens = tokenize(
             texts, self.text_config.context_length, tokenizer=self.tokenizer
         )
-        return self.text_encode_fn(self.params, jnp.asarray(tokens))
+        encodings = self.text_encode_fn(self.params, jnp.asarray(tokens))
+        if self.unet_config.in_channels == 4 + 1 + 4:  # inpainting UNet
+            if inpainting_masks is None or inpainting_images is None:
+                raise ValueError(
+                    "the inpainting checkpoint needs inpainting_masks and "
+                    "inpainting_images (reference stable_diffusion.py:358)"
+                )
+            masks = jnp.asarray(inpainting_masks, jnp.float32)
+            images = jnp.asarray(inpainting_images, jnp.float32)
+            latent_masks = self.latent_masks(masks, mask_blur)
+            # masked image: keep pixels where mask <= 0.5, fill 0.5
+            # elsewhere (reference :360-363)
+            masked = images * (masks <= 0.5) + 0.5 * (masks > 0.5)
+            latents = self.encode_fn(self.params, masked)
+            return Conditioning(self.name, encodings, latent_masks, latents)
+        return encodings
 
     def diffuse_latents(self, latents, indices, key) -> jax.Array:
         """q-sample: alpha * x0 + sigma * noise (reference :216-227)."""

@@ -273,3 +273,54 @@ def test_sd_diffuse_latents(tiny_sd):
 def test_sd_rejects_bad_size(tiny_sd):
     with pytest.raises(ValueError):
         tiny_sd.random_diffused_latents((1, 17, 16), jax.random.PRNGKey(0))
+
+
+def test_inpainting_conditioning_and_step():
+    """Inpainting checkpoint path (reference conditioning.py:31-40 +
+    stable_diffusion.py:343-375): 9-channel UNet input, masked-image
+    latents, sampler step through the Conditioning object."""
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import Conditioning, StableDiffusion
+
+    model = StableDiffusion(
+        "tiny-inpainting", tokenizer=SimpleTokenizer(merges=[])
+    )
+    size = 32
+    images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, size, size))
+    masks = jnp.zeros((1, 1, size, size)).at[:, :, 8:24, 8:24].set(1.0)
+    cond = model.conditioning(
+        ["a test"], inpainting_masks=masks, inpainting_images=images
+    )
+    assert isinstance(cond, Conditioning)
+    down = model.vae_config.downscale
+    assert cond.inpainting_latent_masks.shape == (1, 1, size // down, size // down)
+    assert cond.inpainting_latents.shape[1] == model.vae_config.latent_channels
+    # blurred mask stays in [0, 1] and is nontrivial
+    assert 0.0 < float(cond.inpainting_latent_masks.max()) <= 1.0
+
+    neg = -cond
+    np.testing.assert_allclose(
+        np.asarray(neg.encodings), -np.asarray(cond.encodings)
+    )
+
+    latents = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, model.vae_config.latent_channels, size // down, size // down),
+    )
+    # input assembly: 4 + 1 + 4 channels
+    assembled = cond.input(latents)
+    assert assembled.shape[1] == 9
+    predictions = model.predictions(latents, jnp.array([500]), cond)
+    stepped = predictions.step(jnp.array([480]))
+    assert stepped.shape == latents.shape
+    assert bool(jnp.all(jnp.isfinite(stepped)))
+
+    # missing mask/images must fail loudly
+    with pytest.raises(ValueError):
+        model.conditioning(["a test"])
+
+
+def test_inpainting_rejected_without_masks_on_normal_model(tiny_sd):
+    """Non-inpainting checkpoints return raw encoder states."""
+    cond = tiny_sd.conditioning(["hello"])
+    assert isinstance(cond, jnp.ndarray)
