@@ -1,7 +1,8 @@
 from perceptor_tpu.engine.guidance import (
+    guided_sample,
     make_guidance_step,
     optimize,
     run_on_device,
 )
 
-__all__ = ["make_guidance_step", "optimize", "run_on_device"]
+__all__ = ["guided_sample", "make_guidance_step", "optimize", "run_on_device"]

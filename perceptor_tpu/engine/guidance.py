@@ -124,6 +124,70 @@ def optimize(
     return drawer, [float(h) for h in history]
 
 
+def guided_sample(
+    model,
+    losses: Sequence[Callable],
+    initial_latents,
+    pairs,
+    conditioning=None,
+    guidance_scale: float = 0.5,
+    loss_weights: Optional[Sequence[float]] = None,
+    eta: float = 0.0,
+    key=None,
+):
+    """Loss-guided DDIM sampling as ONE compiled lax.scan program.
+
+    Per step (the reference's user-script loop, SURVEY §3.3): model
+    predictions at `from_index` -> decode denoised images -> weighted loss
+    sum -> VJP back through decoder+UNet to the diffused latents ->
+    `.guided(grad, guidance_scale).step(to_index)`. `pairs` is an
+    (n_steps, 2) int array of (from, to) schedule indices (e.g.
+    `model.schedule_indices(...)`). Model weights and loss towers ride as
+    jit arguments (never constants).
+
+    Returns (final diffused latents, per-step total loss array).
+    """
+    weights = list(loss_weights) if loss_weights is not None else [1.0] * len(losses)
+    _, _, loss_fns, loss_frozen = _gather_frozen(lambda p: p, losses)
+    pairs = jnp.asarray(pairs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def total_loss(latents, from_idx, mparams, loss_p, cond):
+        predictions = model.predictions_fn(mparams, latents, from_idx, cond)
+        images = predictions.denoised_images
+        values = []
+        for loss, apply_fn, lp in zip(losses, loss_fns, loss_p):
+            values.append(
+                apply_fn(lp, images) if apply_fn is not None else loss(images)
+            )
+        total = jnp.sum(jnp.stack(values) * jnp.asarray(weights))
+        return total, predictions
+
+    @jax.jit
+    def run(mparams, latents, pairs, loss_p, cond, key):
+        def body(carry, pair):
+            latents, key = carry
+            from_idx, to_idx = pair[0][None], pair[1][None]
+            (value, predictions), grads = jax.value_and_grad(
+                total_loss, has_aux=True
+            )(latents, from_idx, mparams, loss_p, cond)
+            guided = predictions.guided(grads, guidance_scale)
+            if eta > 0.0:
+                key, step_key = jax.random.split(key)
+                stepped = guided.step(to_idx, eta=eta, key=step_key)
+            else:
+                stepped = guided.step(to_idx)
+            return (stepped, key), value
+
+        (latents, _), history = jax.lax.scan(body, (latents, key), pairs)
+        return latents, history
+
+    return run(
+        model.params, initial_latents, pairs, loss_frozen, conditioning, key
+    )
+
+
 def run_on_device(
     synthesize,
     losses: Sequence[Callable],

@@ -315,6 +315,25 @@ class StableDiffusion:
             decode=lambda latents: self.decode_fn(self.params, latents),
         )
 
+    def predictions_fn(
+        self, params, diffused_latents, indices, conditioning
+    ) -> LatentIndexedEpsPredictions:
+        """Pure `predictions` (params as an argument, jit/engine-safe)."""
+        indices = jnp.asarray(indices)
+        if indices.ndim == 0:
+            indices = jnp.broadcast_to(indices, (diffused_latents.shape[0],))
+        return LatentIndexedEpsPredictions(
+            from_diffused_latents=diffused_latents,
+            from_indices=indices,
+            predicted_noise=self.predicted_noise_fn(
+                params, diffused_latents, indices, conditioning
+            ),
+            schedule_alphas=self.schedule_alphas,
+            schedule_sigmas=self.schedule_sigmas,
+            encode=lambda images: self.encode_fn(params, images),
+            decode=lambda latents: self.decode_fn(params, latents),
+        )
+
     def encode(self, images, key=None):
         """images (N,3,H,W) [0,1] -> scaled latents (reference :176-192)."""
         self._check_size(images.shape[-2:])

@@ -91,3 +91,32 @@ def test_run_on_device_scan(clip_loss):
     assert params.shape == drawer.params.shape
     assert history.shape == (8,)
     assert float(history[-1]) < float(history[0])
+
+
+def test_guided_sample_scan(clip_loss):
+    """Whole guided DDIM sampling loop as one lax.scan program (tiny SD)."""
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import StableDiffusion
+
+    model = StableDiffusion(name="tiny", tokenizer=SimpleTokenizer(merges=[]))
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=4, from_index=800, to_index=100)
+    key = jax.random.PRNGKey(0)
+    latents = model.random_diffused_latents((1, 32, 32), key)
+    final, history = engine.guided_sample(
+        model,
+        [clip_loss],
+        latents,
+        pairs,
+        conditioning=conditioning,
+        guidance_scale=0.2,
+    )
+    assert final.shape == latents.shape
+    assert history.shape == (pairs.shape[0],)
+    assert bool(jnp.all(jnp.isfinite(final)))
+    # the guided trajectory must differ from the unguided one
+    unguided, _ = engine.guided_sample(
+        model, [clip_loss], latents, pairs,
+        conditioning=conditioning, guidance_scale=0.0,
+    )
+    assert bool(jnp.any(jnp.abs(final - unguided) > 1e-6))
