@@ -121,30 +121,42 @@ def build():
         stepped = predictions.guided(grads, guidance_scale=0.5).step(to_idx)
         return stepped, loss
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5,))
+    def guided_denoise_scan(unet_params, vae_params, clip_params, latents, context, n):
+        """n guided steps as ONE program (lax.scan): zero per-step host
+        dispatch, the honest end-to-end sampler shape (engine.guided_sample)."""
+
+        def body(latents, _):
+            stepped, loss = guided_denoise_step(
+                unet_params, vae_params, clip_params, latents, context
+            )
+            return stepped, loss
+
+        return jax.lax.scan(body, latents, None, length=n)
+
     params = (unet_params, vae_params, clip_params)
-    return guided_denoise_step, params, latents, context
+    return guided_denoise_step, guided_denoise_scan, params, latents, context
 
 
 def main():
-    step, (unet_params, vae_params, clip_params), latents, context = build()
-
-    # compile + warmup
-    t0 = time.time()
-    out, loss = step(unet_params, vae_params, clip_params, latents, context)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    out, _ = step(unet_params, vae_params, clip_params, out, context)
-    jax.block_until_ready(out)
+    step, scan, (unet_params, vae_params, clip_params), latents, context = build()
 
     n = 3 if QUICK else 10
+    # compile + warmup (one scanned program covering all n steps)
     t0 = time.time()
-    current = latents
-    for _ in range(n):
-        current, loss = step(unet_params, vae_params, clip_params, current, context)
+    out, losses = scan(unet_params, vae_params, clip_params, latents, context, n)
+    _ = float(jnp.sum(out))
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    out, losses = scan(unet_params, vae_params, clip_params, latents, context, n)
     # hard sync: host readback (block_until_ready can be a no-op through the
-    # axon tunnel); the chain's data dependencies force all n steps to finish
-    _ = float(jnp.sum(current))
+    # axon tunnel); the scan's data dependencies force all n steps to finish
+    _ = float(jnp.sum(out))
     elapsed = time.time() - t0
+    loss = losses[-1]
 
     steps_per_sec = n / elapsed
     baseline = 5.0 / 3.0  # implied A100 reference throughput (BASELINE.md)

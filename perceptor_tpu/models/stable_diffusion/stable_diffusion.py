@@ -211,11 +211,14 @@ class StableDiffusion:
         if path is not None:
             from perceptor_tpu.models.stable_diffusion import convert
 
-            return convert.from_diffusers(
-                load_state_dict(path),
-                self.unet_config,
-                self.vae_config,
-                self.text_config,
+            sd = load_state_dict(path)
+            sd = sd.get("state_dict", sd)
+            is_compvis = any(
+                k.startswith("model.diffusion_model.") for k in sd
+            )
+            loader = convert.from_compvis if is_compvis else convert.from_diffusers
+            return loader(
+                sd, self.unet_config, self.vae_config, self.text_config
             )
         size = 16 if self.name.startswith("tiny") else 64
         latent = jnp.zeros(

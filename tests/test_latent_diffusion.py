@@ -284,3 +284,60 @@ def test_bert_tokenizer_wordpiece():
     assert 3 in tokens[0]  # [SEP]
     # "cats" -> "cat" + "##s"
     assert 5 in tokens[0] and 8 in tokens[0]
+
+
+@pytest.mark.slow
+def test_parity_sd_unet_vs_compvis():
+    """Flagship parity: the diffusers-style SD UNet against the vendored
+    CompVis openaimodel.UNetModel (same math, different checkpoint layout)
+    through the compvis->diffusers key remap (convert.unet_from_compvis)."""
+    import torch
+
+    _register_reference_ldm()
+    openaimodel = importlib.import_module(
+        "perceptor.models.latent_diffusion.ldm.modules.diffusionmodules.openaimodel"
+    )
+    from perceptor_tpu.models.stable_diffusion import UNet
+    from perceptor_tpu.models.stable_diffusion import convert as sd_convert
+    from perceptor_tpu.models.stable_diffusion.config import UNetConfig
+
+    torch.manual_seed(0)
+    cfg = UNetConfig(
+        base_channels=32,
+        channel_mults=(1, 2),
+        n_res_blocks=1,
+        cross_attention=(True, False),
+        n_heads=2,
+        context_dim=48,
+    )
+    torch_model = openaimodel.UNetModel(
+        image_size=16,
+        in_channels=4,
+        out_channels=4,
+        model_channels=32,
+        num_res_blocks=1,
+        attention_resolutions=(1,),
+        channel_mult=(1, 2),
+        num_heads=2,
+        use_spatial_transformer=True,
+        transformer_depth=1,
+        context_dim=48,
+        legacy=False,
+    ).eval()
+    params = sd_convert.unet_from_compvis(torch_model.state_dict(), cfg, prefix="")
+
+    torch.manual_seed(1)
+    x = torch.randn(2, 4, 16, 16)
+    t = torch.tensor([400.0, 20.0])
+    context = torch.randn(2, 7, 48)
+    with torch.no_grad():
+        expected = torch_model(x, t, context=context).numpy()
+
+    module = UNet(cfg, dtype=jnp.float32)
+    actual = module.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(x.numpy()),
+        jnp.asarray(t.numpy()),
+        jnp.asarray(context.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(actual), expected, atol=2e-4)
