@@ -432,73 +432,153 @@ class StableDiffusion:
         size: Tuple[int, int] = (512, 512),
         eta: float = 0.0,
         key=None,
+        from_index: int = 999,
+        to_index: int = 0,
+        n_resample: int = 0,
+        init_images=None,
+        inpainting_masks=None,
+        mask_blur: float = 4.0,
+        replace_diffused: bool = True,
     ) -> jax.Array:
         """Text -> images as ONE compiled program (lax.scan over the
         schedule). Functional replacement for the reference's host-side
-        generator loop (:384-491)."""
+        generator loop (:384-491), including img2img (`init_images` +
+        `from_index`), RePaint resampling (`n_resample`), and inpainting
+        (`inpainting_masks` with the inpainting checkpoint;
+        `replace_diffused` re-injects the known region each step,
+        reference :477-484)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         texts = list(texts)
         uncond = self.conditioning(
-            list(negative_texts) if negative_texts else [""] * len(texts)
+            list(negative_texts) if negative_texts else [""] * len(texts),
+            inpainting_masks=inpainting_masks,
+            inpainting_images=init_images,
+            mask_blur=mask_blur,
         )
-        cond = self.conditioning(texts)
-        pairs = jnp.asarray(self.schedule_indices(n_steps))
+        cond = self.conditioning(
+            texts,
+            inpainting_masks=inpainting_masks,
+            inpainting_images=init_images,
+            mask_blur=mask_blur,
+        )
+        pairs = jnp.asarray(
+            self.schedule_indices(
+                n_steps, from_index=from_index, to_index=to_index
+            )
+        )
         init_key, scan_key = jax.random.split(key)
-        latents = self.random_diffused_latents((len(texts), *size), init_key)
+        if init_images is None:
+            if from_index != 999:
+                raise ValueError(
+                    "init_images must be provided if from_index < 999"
+                )
+            latents = self.random_diffused_latents(
+                (len(texts), *size), init_key
+            )
+            init_latents = None
+        else:
+            init_latents = self.encode_fn(
+                self.params, jnp.asarray(init_images, jnp.float32)
+            )
+            latents = self.diffuse_latents(
+                init_latents, int(pairs[0, 0]), init_key
+            )
         latents = self._sample_scan(
-            self.params, latents, pairs, uncond, cond, guidance_scale, eta, scan_key
+            self.params, latents, pairs, uncond, cond, guidance_scale, eta,
+            scan_key, n_resample=n_resample, init_latents=init_latents,
+            replace_diffused=replace_diffused,
         )
         return self.decode_fn(self.params, latents)
 
     def _sample_scan(
-        self, params, latents, pairs, uncond, cond, guidance_scale, eta, key
+        self, params, latents, pairs, uncond, cond, guidance_scale, eta, key,
+        n_resample: int = 0, init_latents=None, replace_diffused: bool = False,
     ):
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def run(params, latents, pairs, context2, key, eta):
+        is_cond_obj = isinstance(cond, Conditioning)
+        context2 = jnp.concatenate(
+            [
+                uncond.encodings if is_cond_obj else uncond,
+                cond.encodings if is_cond_obj else cond,
+            ]
+        )
+        cond2 = Conditioning(
+            self.name,
+            context2,
+            cond.inpainting_latent_masks if is_cond_obj else None,
+            cond.inpainting_latents if is_cond_obj else None,
+        )
+        masks = cond.inpainting_latent_masks if is_cond_obj else None
+        do_replace = bool(
+            replace_diffused and masks is not None and init_latents is not None
+        )
+        if init_latents is None:
+            init_latents = jnp.zeros_like(latents)
+
+        @functools.partial(jax.jit, static_argnums=(6, 7, 8))
+        def run(params, latents, pairs, cond2, init_latents, key,
+                eta, n_resample, do_replace):
             n = latents.shape[0]
+
+            def cfg_predictions(latents, from_idx):
+                # CFG pair in one batched UNet call
+                lat2 = jnp.concatenate([latents, latents])
+                noise2 = self.unet.apply(
+                    {"params": params["unet"]},
+                    cond2.input(lat2),
+                    jnp.concatenate([from_idx, from_idx]),
+                    cond2.encodings,
+                )
+                noise_uncond, noise_cond = jnp.split(noise2, 2)
+
+                def make(noise):
+                    return LatentIndexedEpsPredictions(
+                        from_diffused_latents=latents,
+                        from_indices=from_idx,
+                        predicted_noise=noise,
+                        schedule_alphas=self.schedule_alphas,
+                        schedule_sigmas=self.schedule_sigmas,
+                    )
+
+                return make(noise_uncond).classifier_free_guidance(
+                    make(noise_cond), guidance_scale
+                )
 
             def body(carry, pair):
                 latents, key = carry
-                key, step_key = jax.random.split(key)
                 from_idx = jnp.broadcast_to(pair[0], (n,))
-                # CFG pair in one batched UNet call
-                noise2 = self.unet.apply(
-                    {"params": params["unet"]},
-                    jnp.concatenate([latents, latents]),
-                    jnp.concatenate([from_idx, from_idx]),
-                    context2,
-                )
-                noise_uncond, noise_cond = jnp.split(noise2, 2)
-                predictions = LatentIndexedEpsPredictions(
-                    from_diffused_latents=latents,
-                    from_indices=from_idx,
-                    predicted_noise=noise_uncond,
-                    schedule_alphas=self.schedule_alphas,
-                    schedule_sigmas=self.schedule_sigmas,
-                ).classifier_free_guidance(
-                    LatentIndexedEpsPredictions(
-                        from_diffused_latents=latents,
-                        from_indices=from_idx,
-                        predicted_noise=noise_cond,
-                        schedule_alphas=self.schedule_alphas,
-                        schedule_sigmas=self.schedule_sigmas,
-                    ),
-                    guidance_scale,
-                )
                 to_idx = jnp.broadcast_to(pair[1], (n,))
+                for _ in range(n_resample):  # RePaint (reference :443-459)
+                    key, resample_key = jax.random.split(key)
+                    latents = cfg_predictions(latents, from_idx).resample(
+                        to_idx, key=resample_key
+                    )
+                predictions = cfg_predictions(latents, from_idx)
+                key, step_key = jax.random.split(key)
                 if eta > 0.0:
                     latents = predictions.step(to_idx, eta=eta, key=step_key)
                 else:
                     latents = predictions.step(to_idx)
+                if do_replace:  # re-inject the known region (:477-484)
+                    key, noise_key = jax.random.split(key)
+                    alphas = self.schedule_alphas[to_idx][:, None, None, None]
+                    sigmas = self.schedule_sigmas[to_idx][:, None, None, None]
+                    fresh = jax.random.normal(
+                        noise_key, latents.shape, latents.dtype
+                    )
+                    diffused_init = init_latents * alphas + fresh * sigmas
+                    m = cond2.inpainting_latent_masks
+                    latents = diffused_init * (1 - m) + latents * m
                 return (latents, key), None
 
             (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
             return latents
 
-        context2 = jnp.concatenate([uncond, cond])
-        return run(params, latents, pairs, context2, key, float(eta))
+        return run(
+            params, latents, pairs, cond2, init_latents, key,
+            float(eta), int(n_resample), do_replace,
+        )
 
     def sample_iter(
         self,

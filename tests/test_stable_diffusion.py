@@ -324,3 +324,43 @@ def test_inpainting_rejected_without_masks_on_normal_model(tiny_sd):
     """Non-inpainting checkpoints return raw encoder states."""
     cond = tiny_sd.conditioning(["hello"])
     assert isinstance(cond, jnp.ndarray)
+
+
+def test_sd_sample_img2img_and_resample(tiny_sd):
+    """img2img start (init_images + from_index) with RePaint resampling."""
+    init_images = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 32, 32))
+    images = tiny_sd.sample(
+        ["a test"],
+        n_steps=3,
+        size=(32, 32),
+        from_index=500,
+        init_images=init_images,
+        n_resample=1,
+    )
+    assert images.shape == (1, 3, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(images)))
+    with pytest.raises(ValueError):
+        tiny_sd.sample(["a test"], n_steps=2, size=(32, 32), from_index=500)
+
+
+def test_sd_sample_inpainting_replace_diffused():
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import StableDiffusion
+
+    model = StableDiffusion(
+        "tiny-inpainting", tokenizer=SimpleTokenizer(merges=[])
+    )
+    size = 32
+    init_images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, size, size))
+    masks = jnp.zeros((1, 1, size, size)).at[:, :, 8:24, 8:24].set(1.0)
+    images = model.sample(
+        ["a test"],
+        n_steps=3,
+        size=(size, size),
+        from_index=700,
+        init_images=init_images,
+        inpainting_masks=masks,
+        replace_diffused=True,
+    )
+    assert images.shape == (1, 3, size, size)
+    assert bool(jnp.all(jnp.isfinite(images)))
