@@ -14,11 +14,11 @@ from typing import Tuple
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int
-    # vision
+    # vision (tuple vision_layers => ModifiedResNet, like openai CLIP)
     image_size: Tuple[int, int]
     patch_size: int
     vision_width: int
-    vision_layers: int
+    vision_layers: object
     vision_heads: int
     # text
     context_length: int
@@ -31,6 +31,10 @@ class CLIPConfig:
     @property
     def vision_head_dim(self) -> int:
         return self.vision_width // self.vision_heads
+
+    @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
 
 
 def _vit(
@@ -61,7 +65,33 @@ def _vit(
     )
 
 
+def _rn(embed_dim, image, v_width, v_layers, t_width, t_layers, t_heads,
+        quick_gelu=False):
+    """ModifiedResNet variants: attnpool heads = vision_width * 32 // 64."""
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        image_size=(image, image),
+        patch_size=0,
+        vision_width=v_width,
+        vision_layers=tuple(v_layers),
+        vision_heads=v_width * 32 // 64,
+        context_length=77,
+        vocab_size=49408,
+        text_width=t_width,
+        text_layers=t_layers,
+        text_heads=t_heads,
+        quick_gelu=quick_gelu,
+    )
+
+
 CONFIGS = {
+    "RN50": _rn(1024, 224, 64, (3, 4, 6, 3), 512, 12, 8),
+    "RN50-quickgelu": _rn(1024, 224, 64, (3, 4, 6, 3), 512, 12, 8, True),
+    "RN101": _rn(512, 224, 64, (3, 4, 23, 3), 512, 12, 8),
+    "RN101-quickgelu": _rn(512, 224, 64, (3, 4, 23, 3), 512, 12, 8, True),
+    "RN50x4": _rn(640, 288, 80, (4, 6, 10, 6), 640, 12, 10),
+    "RN50x16": _rn(768, 384, 96, (6, 8, 18, 8), 768, 12, 12),
+    "RN50x64": _rn(1024, 448, 128, (3, 15, 36, 10), 1024, 12, 16),
     "ViT-B-32": _vit(512, 224, 32, 768, 12, 12, 512, 12, 8),
     "ViT-B-32-quickgelu": _vit(512, 224, 32, 768, 12, 12, 512, 12, 8, True),
     "ViT-B-16": _vit(512, 224, 16, 768, 12, 12, 512, 12, 8),

@@ -54,21 +54,70 @@ def _openclip_block(sd, prefix) -> Dict:
     }
 
 
+def _bn(sd, prefix) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv_nobias(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+
+
+def _modified_resnet_visual(sd, config) -> Dict:
+    """ModifiedResNet visual (visual.conv1-3/bn1-3, visual.layer{1-4}.{i},
+    visual.attnpool) -> clip/resnet.py params."""
+    visual: Dict = {}
+    for i in (1, 2, 3):
+        visual[f"conv{i}"] = _conv_nobias(sd, f"visual.conv{i}")
+        visual[f"bn{i}"] = _bn(sd, f"visual.bn{i}")
+    for stage, count in enumerate(config.vision_layers):
+        for i in range(count):
+            t = f"visual.layer{stage + 1}.{i}"
+            block = {
+                "conv1": _conv_nobias(sd, f"{t}.conv1"),
+                "bn1": _bn(sd, f"{t}.bn1"),
+                "conv2": _conv_nobias(sd, f"{t}.conv2"),
+                "bn2": _bn(sd, f"{t}.bn2"),
+                "conv3": _conv_nobias(sd, f"{t}.conv3"),
+                "bn3": _bn(sd, f"{t}.bn3"),
+            }
+            # downsample: OrderedDict("-1" avgpool, "0" conv, "1" bn)
+            if f"{t}.downsample.0.weight" in sd:
+                block["downsample_conv"] = _conv_nobias(sd, f"{t}.downsample.0")
+                block["downsample_bn"] = _bn(sd, f"{t}.downsample.1")
+            visual[f"layer{stage + 1}_{i}"] = block
+    visual["attnpool"] = {
+        "positional_embedding": _np(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": _linear(sd, "visual.attnpool.q_proj"),
+        "k_proj": _linear(sd, "visual.attnpool.k_proj"),
+        "v_proj": _linear(sd, "visual.attnpool.v_proj"),
+        "c_proj": _linear(sd, "visual.attnpool.c_proj"),
+    }
+    return visual
+
+
 def from_openclip(state_dict, config) -> Dict:
     """open_clip / OpenAI CLIP state_dict -> params for models.clip.model.CLIP."""
     sd = state_dict
-    visual = {
-        "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": _layernorm(sd, "visual.ln_pre"),
-        "ln_post": _layernorm(sd, "visual.ln_post"),
-        "proj": _np(sd["visual.proj"]),
-        "transformer": {
-            f"resblocks_{i}": _openclip_block(sd, f"visual.transformer.resblocks.{i}")
-            for i in range(config.vision_layers)
-        },
-    }
+    if config.is_resnet:
+        visual = _modified_resnet_visual(sd, config)
+    else:
+        visual = {
+            "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": _layernorm(sd, "visual.ln_pre"),
+            "ln_post": _layernorm(sd, "visual.ln_post"),
+            "proj": _np(sd["visual.proj"]),
+            "transformer": {
+                f"resblocks_{i}": _openclip_block(sd, f"visual.transformer.resblocks.{i}")
+                for i in range(config.vision_layers)
+            },
+        }
     text = {
         "token_embedding": _np(sd["token_embedding.weight"]),
         "positional_embedding": _np(sd["positional_embedding"]),

@@ -192,7 +192,18 @@ class CLIP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.visual = VisionTransformer(self.config, dtype=self.dtype)
+        if self.config.is_resnet:
+            from perceptor_tpu.models.clip.resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(
+                layers=tuple(self.config.vision_layers),
+                width=self.config.vision_width,
+                heads=self.config.vision_heads,
+                output_dim=self.config.embed_dim,
+                dtype=self.dtype,
+            )
+        else:
+            self.visual = VisionTransformer(self.config, dtype=self.dtype)
         self.text = TextTransformer(self.config, dtype=self.dtype)
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(2.6592), ()
