@@ -70,3 +70,42 @@ def test_shard_batch_places_on_data_axis():
     x = jnp.zeros((8, 3, 4, 4))
     sharded = parallel.shard_batch(x, mesh)
     assert sharded.sharding.spec == P("data", None, None, None)
+
+
+def test_data_parallel_sample_scan():
+    """Serving shape: the whole SD sample() scan with the batch sharded on
+    the data axis — output stays sharded and matches the unsharded run."""
+    from jax.sharding import NamedSharding
+
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import StableDiffusion
+
+    model = StableDiffusion(
+        name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[])
+    )  # fp32: bf16 reduction-order noise is amplified by CFG across steps
+    mesh = parallel.create_mesh()  # 8-way data
+    texts = ["a"] * 8
+    uncond = model.conditioning([""] * 8)
+    cond = model.conditioning(texts)
+    pairs = jnp.asarray(model.schedule_indices(n_steps=2))
+    key = jax.random.PRNGKey(0)
+    latents = model.random_diffused_latents((8, 32, 32), key)
+
+    expected = model._sample_scan(
+        model.params, latents, pairs, uncond, cond, 3.0, 0.0, key
+    )
+
+    replicated = NamedSharding(mesh, P())
+    sharded = model._sample_scan(
+        jax.device_put(model.params, replicated),
+        jax.device_put(latents, NamedSharding(mesh, P(parallel.AXIS_DATA))),
+        jax.device_put(pairs, replicated),
+        jax.device_put(uncond, replicated),
+        jax.device_put(cond, replicated),
+        3.0,
+        0.0,
+        jax.device_put(key, replicated),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(expected), atol=1e-3
+    )
