@@ -78,6 +78,13 @@ class VelocityPredictions(Functional, PredictionAlgebra):
     def _decode_xs(self, xs):
         return diffusion_space.decode(xs)
 
+    def reverse_step(self, to):
+        """NOTE the reference returns UNDECODED x-space here — velocity
+        predictions.py:112-117 omits the diffusion_space.decode that
+        step() applies (:105). Reproduced for parity."""
+        to_alphas, to_sigmas = self.alphas(to), self.sigmas(to)
+        return self.denoised_xs * to_alphas + self.predicted_noise * to_sigmas
+
     # -- reference-named conveniences -----------------------------------------
 
     def forced_denoised_images(self, denoised_images):

@@ -216,3 +216,129 @@ def test_sd_full_step_parity_with_compvis_unet():
     np.testing.assert_array_less(
         np.abs(next_latents - expected_latents).max(), 1e-3
     )
+
+
+@pytest.mark.slow
+def test_velocity_step_parity_vs_reference_predictions():
+    """Velocity algebra vs the reference's velocity Predictions class
+    (velocity_diffusion/predictions.py:9-180)."""
+    import torch
+
+    _load_reference_predictions()  # installs lantern/torchvision stubs
+    for name, path in {
+        "perceptor.models.velocity_diffusion": f"{REF_ROOT}/models/velocity_diffusion",
+    }.items():
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.__path__ = [path]
+            sys.modules[name] = stub
+    ref = importlib.import_module(
+        "perceptor.models.velocity_diffusion.predictions"
+    )
+    from perceptor_tpu.predictions import VelocityPredictions
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(2, 3, 8, 8)).astype(np.float32)
+    velocities = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    guiding = (rng.normal(size=(2, 3, 8, 8)) * 1e-5).astype(np.float32)
+    from_ts = np.array([0.8, 0.43], dtype=np.float32)
+    to_ts = np.array([0.7, 0.38], dtype=np.float32)
+
+    ref_pred = ref.Predictions(
+        from_diffused_images=torch.tensor(images),
+        from_ts=torch.tensor(from_ts),
+        velocities=torch.tensor(velocities),
+    )
+    mine = VelocityPredictions(
+        from_diffused_images=jnp.asarray(images),
+        from_ts=jnp.asarray(from_ts),
+        velocities=jnp.asarray(velocities),
+    )
+    with torch.no_grad():
+        expected_step = ref_pred.step(torch.tensor(to_ts)).numpy()
+        expected_guided = (
+            ref_pred.guided(torch.tensor(guiding), guidance_scale=0.5)
+            .step(torch.tensor(to_ts))
+            .numpy()
+        )
+        expected_reverse = ref_pred.reverse_step(
+            torch.tensor([0.9, 0.95])
+        ).numpy()
+        expected_denoised = ref_pred.denoised_images.numpy()
+        expected_noise = ref_pred.predicted_noise.numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(mine.step(jnp.asarray(to_ts))), expected_step, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(
+            mine.guided(jnp.asarray(guiding), 0.5).step(jnp.asarray(to_ts))
+        ),
+        expected_guided,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mine.reverse_step(jnp.asarray([0.9, 0.95]))),
+        expected_reverse,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mine.denoised_images), expected_denoised, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mine.predicted_noise), expected_noise, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_adm_step_parity_vs_reference_predictions():
+    """Pixel-space indexed-eps algebra vs the reference's guided_diffusion
+    Predictions class."""
+    import torch
+
+    _load_reference_predictions()
+    for name, path in {
+        "perceptor.models.guided_diffusion": f"{REF_ROOT}/models/guided_diffusion",
+    }.items():
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.__path__ = [path]
+            sys.modules[name] = stub
+    ref = importlib.import_module(
+        "perceptor.models.guided_diffusion.predictions"
+    )
+    from perceptor_tpu.predictions import IndexedEpsPredictions
+
+    alphas_np, sigmas_np = scaled_linear_alphas_sigmas()
+    alphas_np = np.asarray(alphas_np)
+    sigmas_np = np.asarray(sigmas_np)
+    rng = np.random.default_rng(1)
+    images = rng.uniform(size=(2, 3, 8, 8)).astype(np.float32)
+    noise = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    from_idx = np.array([700, 350])
+    to_idx = np.array([650, 300])
+
+    ref_pred = ref.Predictions(
+        from_diffused_images=torch.tensor(images),
+        from_indices=torch.tensor(from_idx),
+        predicted_noise=torch.tensor(noise),
+        schedule_alphas=torch.tensor(alphas_np),
+        schedule_sigmas=torch.tensor(sigmas_np),
+    )
+    mine = IndexedEpsPredictions(
+        from_diffused_images=jnp.asarray(images),
+        from_indices=jnp.asarray(from_idx),
+        predicted_noise=jnp.asarray(noise),
+        schedule_alphas=jnp.asarray(alphas_np),
+        schedule_sigmas=jnp.asarray(sigmas_np),
+    )
+    with torch.no_grad():
+        expected_step = ref_pred.step(torch.tensor(to_idx)).numpy()
+        expected_denoised = ref_pred.denoised_images.numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(mine.step(jnp.asarray(to_idx))), expected_step, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mine.denoised_images), expected_denoised, atol=1e-5
+    )
