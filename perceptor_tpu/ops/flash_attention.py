@@ -279,13 +279,23 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _default_blocks(sq: int, sk: int, d_padded: int):
+    """Measured on v5e (fwd+bwd, bf16): long sequences want 1024-row Q
+    tiles; KV tiles of 1024 win for small head_dim but lose VMEM locality
+    at d>=512 (e.g. the SD VAE's single 512-dim head) where 512 is best;
+    short sequences prefer 512."""
+    if sq >= 4096:
+        return 1024, (512 if d_padded >= 512 else 1024)
+    return 512, 512
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """softmax(q k^T * scale) v over (B, H, S, D), fused, flash-style.
@@ -298,8 +308,10 @@ def flash_attention(
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     sq, sk = q.shape[2], k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    d_padded = q.shape[-1] + ((-q.shape[-1]) % LANES)
+    default_q, default_k = _default_blocks(sq, sk, d_padded)
+    block_q = min(block_q or default_q, sq)
+    block_k = min(block_k or default_k, sk)
     if (
         sq % block_q
         or sk % block_k

@@ -47,19 +47,24 @@ def _load_reference_predictions():
         lantern.FunctionalBase = FunctionalBase
         lantern.Tensor = Tensor
         sys.modules["lantern"] = lantern
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        tvf = types.ModuleType("torchvision.transforms.functional")
-        tv.transforms = tvt
-        tvt.functional = tvf
-        sys.modules.update(
-            {
-                "torchvision": tv,
-                "torchvision.transforms": tvt,
-                "torchvision.transforms.functional": tvf,
-            }
-        )
+    # another test may have stubbed torchvision without the functional
+    # submodule attribute — ensure the full chain either way
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tvt = sys.modules.get("torchvision.transforms") or types.ModuleType(
+        "torchvision.transforms"
+    )
+    tvf = sys.modules.get(
+        "torchvision.transforms.functional"
+    ) or types.ModuleType("torchvision.transforms.functional")
+    tv.transforms = tvt
+    tvt.functional = tvf
+    sys.modules.update(
+        {
+            "torchvision": tv,
+            "torchvision.transforms": tvt,
+            "torchvision.transforms.functional": tvf,
+        }
+    )
     chain = {
         "perceptor": REF_ROOT,
         "perceptor.transforms": f"{REF_ROOT}/transforms",
