@@ -18,6 +18,10 @@ from perceptor_tpu.parallel.mesh import (
     AXIS_CONTEXT,
     create_mesh,
 )
+from perceptor_tpu.parallel.ring_attention import (
+    ring_attention,
+    ring_self_attention,
+)
 from perceptor_tpu.parallel.partition import (
     PartitionRules,
     SD_TENSOR_PARALLEL_RULES,
@@ -38,4 +42,6 @@ __all__ = [
     "shard_params",
     "shard_batch",
     "replicate",
+    "ring_attention",
+    "ring_self_attention",
 ]
