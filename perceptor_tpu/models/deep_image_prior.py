@@ -7,10 +7,13 @@ width 4, decorrelated-RGB head + sigmoid) assembled by skip.py:7-167, and
 the wrapper deep_image_prior.py:17-151 with its latent factories (random
 :73-79, Fourier-feature grids :80-119, noisy image latents :121-133).
 
-Deformable-conv offsets (offset_type "1x1"/"full") are not implemented —
-the reference wrapper defaults to offset_type="none" (deep_image_prior.py:22),
-and gather-heavy deformable sampling is hostile to the MXU; a request for
-them raises.
+Deformable-conv offsets (offset_type "1x1"/"full", common.py:92-219 over
+torchvision DeformConv2d with offset_groups=4) are supported through
+ops.deform_conv (per-tap bilinear gathers + MXU contraction); offset
+branches carry "offset_conv" in their param path so the reference's
+get_offset_params/get_non_offset_params LR split (get_hq_skip_net.py:120-140,
+deep_image_prior.py:135-151) maps to `offset_param_labels` + optax
+multi_transform.
 
 BatchNorm is train-mode only (per-image optimization never uses running
 stats), implemented as a stateless batch-stat normalization.
@@ -68,6 +71,64 @@ def _reflect_conv(x, features, kernel, dtype, name):
     )(x)
 
 
+class DeformConvLayer(nn.Module):
+    """Reflection-padded deformable conv (reference common.py:163-219).
+
+    offset_type "1x1": offsets from a 1x1 conv on the unpadded input;
+    "full": offsets from a KxK conv on the reflection-padded input. The
+    offset branch is named `<name>/offset_conv` for LR-group filtering.
+    Offset-group count is demoted until it divides the input channels
+    (common.py:196-197). NHWC in/out.
+    """
+
+    features: int
+    kernel: int = 3
+    offset_groups: int = 4
+    offset_type: str = "1x1"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from perceptor_tpu.ops.deform_conv import deform_conv2d
+
+        k = self.kernel
+        pad = (k - 1) // 2
+        c = x.shape[-1]
+        g = self.offset_groups
+        while g > 1 and c % g:
+            g -= 1
+
+        x_pad = jnp.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+        )
+        if self.offset_type == "1x1":
+            offsets = nn.Conv(
+                2 * g * k * k, (1, 1), dtype=self.dtype, name="offset_conv"
+            )(x)
+        elif self.offset_type == "full":
+            offsets = nn.Conv(
+                2 * g * k * k,
+                (k, k),
+                padding="VALID",
+                dtype=self.dtype,
+                name="offset_conv",
+            )(x_pad)
+        else:
+            raise ValueError(f"unknown offset_type {self.offset_type!r}")
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = deform_conv2d(
+            x_pad.transpose(0, 3, 1, 2).astype(self.dtype),
+            offsets.transpose(0, 3, 1, 2),
+            kernel.transpose(3, 2, 0, 1).astype(self.dtype),  # HWIO -> OIHW
+            bias,
+        )
+        return out.transpose(0, 2, 3, 1)
+
+
 class SkipNet(nn.Module):
     """The HQ skip encoder-decoder (reference skip.py:7-167). NHWC."""
 
@@ -78,6 +139,8 @@ class SkipNet(nn.Module):
     channels_skip: int = 4
     sigmoid: bool = True
     decorrelate_rgb: bool = True
+    offset_type: str = "none"
+    offset_groups: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +152,20 @@ class SkipNet(nn.Module):
         def bn(h, name):
             return TrainBatchNorm(dtype=self.dtype, name=name)(h)
 
+        def conv3(h, features, name):
+            # 3x3 convs become deformable under offset_type "1x1"/"full"
+            # (reference skip.py:95-146 routes them through common.conv)
+            if self.offset_type != "none":
+                return DeformConvLayer(
+                    features,
+                    kernel=3,
+                    offset_groups=self.offset_groups,
+                    offset_type=self.offset_type,
+                    dtype=self.dtype,
+                    name=name,
+                )(h)
+            return _reflect_conv(h, features, 3, self.dtype, name)
+
         def level(i, x):
             # skip branch: 1x1 conv -> BN -> act (skip.py:78-90)
             s = nn.Conv(
@@ -97,12 +174,12 @@ class SkipNet(nn.Module):
             s = act(bn(s, f"skip_{i}_bn"))
 
             # deeper branch: conv + cubic blur down, conv (skip.py:95-123)
-            h = _reflect_conv(x, self.channels_down, 3, self.dtype, f"down_{i}_conv1")
+            h = conv3(x, self.channels_down, f"down_{i}_conv1")
             h = h.transpose(0, 3, 1, 2)
             h = fir_downsample_2x(h, kernel="cubic")
             h = h.transpose(0, 2, 3, 1)
             h = act(bn(h, f"down_{i}_bn1"))
-            h = _reflect_conv(h, self.channels_down, 3, self.dtype, f"down_{i}_conv2")
+            h = conv3(h, self.channels_down, f"down_{i}_conv2")
             h = act(bn(h, f"down_{i}_bn2"))
 
             if i < self.n_scales - 1:
@@ -115,7 +192,7 @@ class SkipNet(nn.Module):
             # concat [skip, deeper] then decode (skip.py:66-67, :136-157)
             y = jnp.concatenate([s, h], axis=-1)
             y = bn(y, f"up_{i}_bn0")
-            y = _reflect_conv(y, self.channels_up, 3, self.dtype, f"up_{i}_conv1")
+            y = conv3(y, self.channels_up, f"up_{i}_conv1")
             y = act(bn(y, f"up_{i}_bn1"))
             y = nn.Conv(
                 self.channels_up, (1, 1), dtype=self.dtype, name=f"up_{i}_conv2"
@@ -135,6 +212,21 @@ class SkipNet(nn.Module):
         return x
 
 
+def offset_param_labels(params):
+    """Map a SkipNet params tree to {"offset", "main"} labels (the JAX form
+    of the reference's get_offset_params/get_non_offset_params name filter,
+    get_hq_skip_net.py:128/:140: "offset_branch" in parameter name)."""
+
+    def label(path, _):
+        return (
+            "offset"
+            if any("offset_conv" in str(getattr(k, "key", k)) for k in path)
+            else "main"
+        )
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 @utils.cache
 class DeepImagePrior:
     """Wrapper mirroring reference deep_image_prior.py:17-151."""
@@ -149,11 +241,8 @@ class DeepImagePrior:
         output_channels: int = 3,
         seed: int = 0,
     ):
-        if offset_type != "none":
-            raise NotImplementedError(
-                "deformable-conv offsets are not supported on TPU "
-                "(reference default is offset_type='none')"
-            )
+        if offset_type not in ("none", "1x1", "full"):
+            raise ValueError(f"unknown offset_type {offset_type!r}")
         input_channels, height, width = shape
         if height != width or height % 8:
             raise ValueError("DIP expects square size divisible by 8")
@@ -165,6 +254,7 @@ class DeepImagePrior:
             n_scales=n_scales,
             sigmoid=sigmoid,
             decorrelate_rgb=decorrelate_rgb,
+            offset_type=offset_type,
         )
         self.params = init_by_shape(
             self.module.init,
@@ -231,6 +321,26 @@ class DeepImagePrior:
         latents = np.concatenate([np.sin(phases), np.cos(phases)], axis=0)
         latents = latents.reshape(1, -1, self.height, self.width)
         return jnp.asarray(np.repeat(latents, size, axis=0) * 0.3, dtype=jnp.float32)
+
+    # -- LR groups for deformable offsets (reference get_hq_skip_net.py:120-140,
+    #    deep_image_prior.py:135-151: offset branches train at lr/10) -----------
+
+    def offset_param_labels(self, params=None):
+        """Label pytree for optax.multi_transform: "offset" on offset-branch
+        leaves, "main" elsewhere."""
+        return offset_param_labels(self.params if params is None else params)
+
+    def optimizer(self, learning_rate: float = 0.01):
+        """Adam with the reference's lr/10 offset-branch group."""
+        import optax
+
+        return optax.multi_transform(
+            {
+                "main": optax.adam(learning_rate),
+                "offset": optax.adam(learning_rate * 0.1),
+            },
+            self.offset_param_labels,
+        )
 
     def noisy_image_latents(
         self, images, key, n_channels: Optional[int] = None, log_snr: float = -1.0

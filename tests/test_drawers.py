@@ -110,8 +110,45 @@ def test_dip_latent_factories():
     assert noisy.shape == (1, 8, 16, 16)
 
 
-def test_dip_rejects_deformable():
+@pytest.mark.parametrize("offset_type", ["1x1", "full"])
+def test_dip_deformable_offsets(offset_type):
+    """offset_type "1x1"/"full" route 3x3 convs through ops.deform_conv
+    (reference common.py:163-219); offsets train at lr/10 via the
+    multi_transform LR groups (get_hq_skip_net.py:120-140)."""
+    import optax
+
+    from perceptor_tpu.models.deep_image_prior import (
+        DeepImagePrior as DIPModel,
+        offset_param_labels,
+    )
+
+    model = DIPModel(shape=(8, 16, 16), offset_type=offset_type)
+    latents = model.random_latents(jax.random.PRNGKey(0))
+    out = model(latents)
+    assert out.shape == (1, 3, 16, 16)
+
+    labels = offset_param_labels(model.params)
+    flat = jax.tree.leaves(labels)
+    assert "offset" in flat and "main" in flat
+
+    grads = jax.grad(
+        lambda p: jnp.square(model.apply_fn(p, latents) - 0.5).mean()
+    )(model.params)
+    offset_leaves = [
+        g
+        for g, l in zip(jax.tree.leaves(grads), jax.tree.leaves(labels))
+        if l == "offset"
+    ]
+    assert offset_leaves and all(bool(jnp.all(jnp.isfinite(g))) for g in offset_leaves)
+
+    opt = model.optimizer(0.01)
+    state = opt.init(model.params)
+    updates, _ = opt.update(grads, state, model.params)
+    assert jax.tree.structure(updates) == jax.tree.structure(model.params)
+
+
+def test_dip_rejects_unknown_offset_type():
     from perceptor_tpu.models.deep_image_prior import DeepImagePrior as DIPModel
 
-    with pytest.raises(NotImplementedError):
-        DIPModel(shape=(8, 16, 16), offset_type="full")
+    with pytest.raises(ValueError):
+        DIPModel(shape=(8, 16, 16), offset_type="bogus")
