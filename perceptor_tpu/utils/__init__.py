@@ -5,6 +5,8 @@ from perceptor_tpu.utils.gradients import (
     nonzero_scale,
     combine_gradients,
 )
+from perceptor_tpu.utils.profiling import StepTimer, annotate, trace
+from perceptor_tpu.utils.session import load_session, save_session
 
 __all__ = [
     "cache",
@@ -12,4 +14,9 @@ __all__ = [
     "nonzero_mean",
     "nonzero_scale",
     "combine_gradients",
+    "StepTimer",
+    "annotate",
+    "trace",
+    "save_session",
+    "load_session",
 ]

@@ -1,0 +1,49 @@
+"""utils.session + utils.profiling tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_session_save_load_roundtrip(tmp_path):
+    import optax
+
+    from perceptor_tpu.utils.session import load_session, save_session
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros((3,))}
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    key = jax.random.key(42)
+    state = {"params": params, "opt_state": opt_state, "key": key, "step": 7}
+
+    path = save_session(str(tmp_path / "session"), state)
+
+    fresh = {
+        "params": jax.tree.map(jnp.zeros_like, params),
+        "opt_state": optimizer.init(params),
+        "key": jax.random.key(0),
+        "step": 0,
+    }
+    restored = load_session(path, like=fresh)
+    assert int(restored["step"]) == 7
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    # the PRNG key resumes the exact stream
+    a = jax.random.normal(restored["key"], (4,))
+    b = jax.random.normal(key, (4,))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # optimizer state round-trips (count + moments)
+    updates, _ = optimizer.update(jax.tree.map(jnp.ones_like, params), restored["opt_state"], restored["params"])
+    assert jax.tree.structure(updates) == jax.tree.structure(params)
+
+
+def test_step_timer_and_trace(tmp_path):
+    from perceptor_tpu.utils.profiling import StepTimer, annotate
+
+    timer = StepTimer()
+    f = jax.jit(lambda x: x * 2.0)
+    for _ in range(3):
+        with timer.step() as probe:
+            with annotate("double"):
+                probe(f(jnp.ones((8, 8))))
+    s = timer.summary()
+    assert s["steps"] == 2 and s["mean_s"] > 0 and s["steps_per_sec"] > 0
