@@ -22,6 +22,10 @@ from perceptor_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
 )
+from perceptor_tpu.parallel.ulysses import (
+    ulysses_attention,
+    ulysses_self_attention,
+)
 from perceptor_tpu.parallel.partition import (
     PartitionRules,
     SD_TENSOR_PARALLEL_RULES,
@@ -44,4 +48,6 @@ __all__ = [
     "replicate",
     "ring_attention",
     "ring_self_attention",
+    "ulysses_attention",
+    "ulysses_self_attention",
 ]
