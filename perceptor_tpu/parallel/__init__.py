@@ -16,8 +16,10 @@ from perceptor_tpu.parallel.mesh import (
     AXIS_DATA,
     AXIS_TENSOR,
     AXIS_CONTEXT,
+    AXIS_STAGE,
     create_mesh,
 )
+from perceptor_tpu.parallel.pipeline import pipeline, pipeline_body
 from perceptor_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
@@ -50,4 +52,7 @@ __all__ = [
     "ring_self_attention",
     "ulysses_attention",
     "ulysses_self_attention",
+    "AXIS_STAGE",
+    "pipeline",
+    "pipeline_body",
 ]

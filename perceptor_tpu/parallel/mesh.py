@@ -16,29 +16,38 @@ from jax.sharding import Mesh
 AXIS_DATA = "data"
 AXIS_TENSOR = "tensor"
 AXIS_CONTEXT = "context"
+AXIS_STAGE = "stage"
 
-_DEFAULT_ORDER = (AXIS_DATA, AXIS_CONTEXT, AXIS_TENSOR)
+_DEFAULT_ORDER = (AXIS_DATA, AXIS_STAGE, AXIS_CONTEXT, AXIS_TENSOR)
 
 
 def create_mesh(
     data: int = -1,
     tensor: int = 1,
     context: int = 1,
+    stage: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     axis_order: Tuple[str, ...] = _DEFAULT_ORDER,
 ) -> Mesh:
     """Create a named mesh; `data=-1` absorbs the remaining devices.
 
-    Axis order puts "data" outermost (slowest links OK) and "tensor"
-    innermost (needs the fastest ICI), matching the scaling-book recipe.
+    Axis order puts "data" outermost (slowest links OK), "stage" next
+    (pipeline neighbors need one link each), and "tensor" innermost
+    (needs the fastest ICI), matching the scaling-book recipe.
     """
     devices = list(devices) if devices is not None else list(jax.devices())
-    sizes = {AXIS_DATA: data, AXIS_TENSOR: tensor, AXIS_CONTEXT: context}
-    fixed = tensor * context
+    sizes = {
+        AXIS_DATA: data,
+        AXIS_TENSOR: tensor,
+        AXIS_CONTEXT: context,
+        AXIS_STAGE: stage,
+    }
+    fixed = tensor * context * stage
     if data == -1:
         if len(devices) % fixed:
             raise ValueError(
-                f"{len(devices)} devices not divisible by tensor*context={fixed}"
+                f"{len(devices)} devices not divisible by "
+                f"tensor*context*stage={fixed}"
             )
         sizes[AXIS_DATA] = len(devices) // fixed
     total = sizes[AXIS_DATA] * fixed
