@@ -109,3 +109,35 @@ def test_data_parallel_sample_scan():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(expected), atol=1e-3
     )
+
+
+def test_spatial_context_sharded_unet_matches_single_device():
+    """Context-parallel (spatial) sharding: latent H sharded over the
+    `context` axis. GSPMD inserts halo exchanges for the 3x3 convs and
+    gathers for attention; numerics must match the unsharded forward
+    (SURVEY §2.8: sequence/context parallelism over image tokens)."""
+    from jax.sharding import NamedSharding
+
+    cfg = sd_config.TINY_UNET
+    module = UNet(cfg)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32))
+    timesteps = jnp.array([500.0, 10.0])
+    context = jax.random.normal(jax.random.PRNGKey(2), (2, 8, cfg.context_dim))
+    params = module.init(jax.random.PRNGKey(0), latents, timesteps, context)["params"]
+
+    expected = module.apply({"params": params}, latents, timesteps, context)
+
+    mesh = parallel.create_mesh(data=2, context=4)
+    sharded_latents = jax.device_put(
+        latents, NamedSharding(mesh, P("data", None, "context", None))
+    )
+    sharded_params = parallel.replicate(params, mesh)
+    sharded_ts = parallel.shard_batch(timesteps, mesh)
+    sharded_ctx = parallel.shard_batch(context, mesh)
+
+    @jax.jit
+    def forward(p, lat, ts, ctx):
+        return module.apply({"params": p}, lat, ts, ctx)
+
+    actual = forward(sharded_params, sharded_latents, sharded_ts, sharded_ctx)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=2e-5)
