@@ -11,6 +11,7 @@ __all__ = [
     "bias_act",
     "upfirdn2d",
     "filtered_lrelu",
+    "deform_conv2d",
 ]
 
 
@@ -23,7 +24,8 @@ def __getattr__(name):
         "group_norm": ("perceptor_tpu.ops.groupnorm", "group_norm"),
         "group_norm_silu": ("perceptor_tpu.ops.groupnorm", "group_norm_silu"),
         "bias_act": ("perceptor_tpu.ops.bias_act", "bias_act"),
-        "upfirdn2d": ("perceptor_tpu.ops.upfirdn2d", "upfirdn2d"),
+        "upfirdn2d": ("perceptor_tpu.ops.upfirdn", "upfirdn2d"),
+        "deform_conv2d": ("perceptor_tpu.ops.deform_conv", "deform_conv2d"),
         "filtered_lrelu": ("perceptor_tpu.ops.filtered_lrelu", "filtered_lrelu"),
     }
     if name in lazy:
