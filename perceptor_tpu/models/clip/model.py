@@ -102,11 +102,13 @@ class VisionTransformer(nn.Module):
         """images: (N, C, H, W) already resized + normalized."""
         cfg = self.config
         x = images.astype(self.dtype)
-        # conv patch embed, stride=kernel=patch, no bias (open_clip conv1)
-        x = nn.Conv(
+        # conv patch embed, stride=kernel=patch, no bias (open_clip conv1);
+        # einsum form so the input-VJP stays on the MXU (models/patch_embed.py)
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
             cfg.vision_width,
-            (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
+            cfg.patch_size,
             use_bias=False,
             dtype=self.dtype,
             name="conv1",

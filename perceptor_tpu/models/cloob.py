@@ -123,10 +123,11 @@ class CLOOBImageEncoder(nn.Module):
     def __call__(self, images):
         """images NCHW, already normalized."""
         cfg = self.config
-        x = nn.Conv(
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
             cfg.vision_width,
-            (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
+            cfg.patch_size,
             use_bias=False,
             dtype=self.dtype,
             name="embed",

@@ -127,9 +127,10 @@ class GlideImageEncoder(nn.Module):
         means = jnp.asarray(CHANNEL_MEANS).reshape(1, 3, 1, 1)
         stds = jnp.asarray(CHANNEL_STDS).reshape(1, 3, 1, 1)
         x = (images - means) / stds
-        x = nn.Conv(
-            n_state, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
+            n_state, cfg.patch_size, use_bias=False,
             dtype=self.dtype, name="patch_proj",
         )(x.transpose(0, 2, 3, 1).astype(self.dtype))
         n, gh, gw, _ = x.shape

@@ -113,9 +113,10 @@ class DPTViT(nn.Module):
     @nn.compact
     def __call__(self, images):
         cfg = self.config
-        x = nn.Conv(
-            cfg.vit_width, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), dtype=self.dtype,
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
+            cfg.vit_width, cfg.patch_size, dtype=self.dtype,
             name="patch_embed",
         )(images.transpose(0, 2, 3, 1).astype(self.dtype))
         n, gh, gw, w = x.shape

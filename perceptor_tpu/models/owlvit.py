@@ -92,9 +92,10 @@ class OWLViTVision(nn.Module):
     @nn.compact
     def __call__(self, images):
         cfg = self.config
-        x = nn.Conv(
-            cfg.vision_width, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
+            cfg.vision_width, cfg.patch_size, use_bias=False,
             dtype=self.dtype, name="patch_embedding",
         )(images.transpose(0, 2, 3, 1).astype(self.dtype))
         n, gh, gw, w = x.shape

@@ -81,9 +81,10 @@ class TimmViT(nn.Module):
 
     @nn.compact
     def __call__(self, images):
-        x = nn.Conv(
-            self.width, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), dtype=self.dtype,
+        from perceptor_tpu.models.patch_embed import PatchEmbed
+
+        x = PatchEmbed(
+            self.width, self.patch_size, dtype=self.dtype,
             name="patch_embed",
         )(images.transpose(0, 2, 3, 1).astype(self.dtype))
         n, gh, gw, w = x.shape
