@@ -12,6 +12,7 @@ __all__ = [
     "upfirdn2d",
     "filtered_lrelu",
     "deform_conv2d",
+    "upsample2x_nearest_conv3x3",
 ]
 
 
@@ -26,6 +27,10 @@ def __getattr__(name):
         "bias_act": ("perceptor_tpu.ops.bias_act", "bias_act"),
         "upfirdn2d": ("perceptor_tpu.ops.upfirdn", "upfirdn2d"),
         "deform_conv2d": ("perceptor_tpu.ops.deform_conv", "deform_conv2d"),
+        "upsample2x_nearest_conv3x3": (
+            "perceptor_tpu.ops.upsample_conv",
+            "upsample2x_nearest_conv3x3",
+        ),
         "filtered_lrelu": ("perceptor_tpu.ops.filtered_lrelu", "filtered_lrelu"),
     }
     if name in lazy:
