@@ -1,5 +1,24 @@
+"""TPU kernels and differentiable ops.
+
+Exports are EAGER imports: several export names (`attention`,
+`bias_act`, `filtered_lrelu`) match their submodule filenames, and a
+lazy `__getattr__` for those is unreliable — the first
+`import perceptor_tpu.ops.attention` anywhere binds the submodule as a
+package attribute, silently shadowing the function. Binding the
+functions at package import keeps `ops.attention(q, k, v)` stable. The
+only heavyweight import (pallas, inside flash_attention) stays lazy
+under a name that does not collide with its module path.
+"""
+
+from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.bias_act import bias_act
 from perceptor_tpu.ops.clamp import clamp_with_grad
+from perceptor_tpu.ops.deform_conv import deform_conv2d
+from perceptor_tpu.ops.filtered_lrelu import filtered_lrelu
+from perceptor_tpu.ops.groupnorm import group_norm, group_norm_silu
 from perceptor_tpu.ops.resize import resize, resize_matrices
+from perceptor_tpu.ops.upfirdn import upfirdn2d
+from perceptor_tpu.ops.upsample_conv import upsample2x_nearest_conv3x3
 
 __all__ = [
     "clamp_with_grad",
@@ -14,28 +33,3 @@ __all__ = [
     "deform_conv2d",
     "upsample2x_nearest_conv3x3",
 ]
-
-
-def __getattr__(name):
-    import importlib
-
-    lazy = {
-        "attention": ("perceptor_tpu.ops.attention", "attention"),
-        "flash_attention": ("perceptor_tpu.ops.attention", "flash_attention"),
-        "group_norm": ("perceptor_tpu.ops.groupnorm", "group_norm"),
-        "group_norm_silu": ("perceptor_tpu.ops.groupnorm", "group_norm_silu"),
-        "bias_act": ("perceptor_tpu.ops.bias_act", "bias_act"),
-        "upfirdn2d": ("perceptor_tpu.ops.upfirdn", "upfirdn2d"),
-        "deform_conv2d": ("perceptor_tpu.ops.deform_conv", "deform_conv2d"),
-        "upsample2x_nearest_conv3x3": (
-            "perceptor_tpu.ops.upsample_conv",
-            "upsample2x_nearest_conv3x3",
-        ),
-        "filtered_lrelu": ("perceptor_tpu.ops.filtered_lrelu", "filtered_lrelu"),
-    }
-    if name in lazy:
-        module_name, attr = lazy[name]
-        value = getattr(importlib.import_module(module_name), attr)
-        globals()[name] = value
-        return value
-    raise AttributeError(f"module 'perceptor_tpu.ops' has no attribute {name!r}")
