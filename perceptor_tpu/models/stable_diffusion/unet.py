@@ -219,7 +219,22 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latents, timesteps, context):
+    def __call__(self, latents, timesteps, context, cache=None, return_cache=False):
+        """Denoise. Two STATIC (python-level) extras enable DeepCache-style
+        block caching ("Cache Me if You Can", arXiv:2312.03209 — reuse the
+        deep U across adjacent timesteps, recompute only the shallowest
+        level):
+
+          - return_cache=True: also return the deep feature entering the
+            last (shallowest) up level — `(out, cache)`.
+          - cache=<that feature>: skip down levels 1.., mid, and up levels
+            ..n-2 entirely; run conv_in + down level 0 + the last up level
+            + head against the provided cache.
+
+        Both paths declare identical param names (the partial path a
+        subset), so one param tree serves all modes. Numerics of the full
+        path are unchanged.
+        """
         cfg = self.config
         channels = cfg.block_channels
         time_dim = channels[0] * 4
@@ -241,9 +256,10 @@ class UNet(nn.Module):
 
         x = nn.Conv(channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         skips = [x]
+        n_levels = len(channels)
 
-        # -- down --
-        for i, ch in enumerate(channels):
+        def down_level(i, x):
+            ch = channels[i]
             dim_head = ch // cfg.n_heads
             for j in range(cfg.n_res_blocks):
                 x = res_block(
@@ -258,27 +274,11 @@ class UNet(nn.Module):
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(x, context)
                 skips.append(x)
-            if i < len(channels) - 1:
-                x = Downsample(
-                    ch, dtype=self.dtype, name=f"down_blocks_{i}_downsamplers_0"
-                )(x)
-                skips.append(x)
+            return x
 
-        # -- mid --
-        mid_ch = channels[-1]
-        x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_0")(x, emb)
-        x = transformer(
-            cfg.n_heads,
-            mid_ch // cfg.n_heads,
-            cfg.transformer_depth,
-            dtype=self.dtype,
-            name="mid_block_attentions_0",
-        )(x, context)
-        x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_1")(x, emb)
-
-        # -- up --
-        for i, ch in enumerate(reversed(channels)):
-            level = len(channels) - 1 - i
+        def up_level(i, x):
+            level = n_levels - 1 - i
+            ch = channels[level]
             dim_head = ch // cfg.n_heads
             for j in range(cfg.n_res_blocks + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -297,10 +297,51 @@ class UNet(nn.Module):
                 x = Upsample(
                     ch, dtype=self.dtype, name=f"up_blocks_{i}_upsamplers_0"
                 )(x)
+            return x
+
+        if cache is not None:
+            # partial pass: shallow level only, deep U comes from cache
+            down_level(0, x)
+            x = cache.astype(self.dtype)
+            x = up_level(n_levels - 1, x)
+        else:
+            # -- down --
+            for i in range(n_levels):
+                x = down_level(i, x)
+                if i < n_levels - 1:
+                    x = Downsample(
+                        channels[i],
+                        dtype=self.dtype,
+                        name=f"down_blocks_{i}_downsamplers_0",
+                    )(x)
+                    skips.append(x)
+
+            # -- mid --
+            mid_ch = channels[-1]
+            x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_0")(x, emb)
+            x = transformer(
+                cfg.n_heads,
+                mid_ch // cfg.n_heads,
+                cfg.transformer_depth,
+                dtype=self.dtype,
+                name="mid_block_attentions_0",
+            )(x, context)
+            x = res_block(mid_ch, dtype=self.dtype, name="mid_block_resnets_1")(x, emb)
+
+            # -- up --
+            for i in range(n_levels - 1):
+                x = up_level(i, x)
+            deep_feature = x
+            x = up_level(n_levels - 1, x)
 
         x = group_norm(x, "conv_norm_out")
         x = jax.nn.silu(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x.astype(self.dtype))
-        return x.transpose(0, 3, 1, 2).astype(jnp.float32)  # NHWC -> NCHW
+        out = x.transpose(0, 3, 1, 2).astype(jnp.float32)  # NHWC -> NCHW
+        if return_cache:
+            if cache is not None:
+                return out, cache
+            return out, deep_feature
+        return out
