@@ -146,6 +146,10 @@ def guided_sample(
     jit arguments (never constants).
 
     Returns (final diffused latents, per-step total loss array).
+
+    Each invocation traces/compiles its own scan program; for repeated
+    sampling with the same model+losses, hold onto a partial of this
+    function's arguments or use the model's own memoized `sample()`.
     """
     weights = list(loss_weights) if loss_weights is not None else [1.0] * len(losses)
     _, _, loss_fns, loss_frozen = _gather_frozen(lambda p: p, losses)

@@ -185,6 +185,14 @@ class MonsterDiffusion:
         augmentations = jnp.zeros((size, N_AUGMENTATIONS), jnp.float32)
         c_max = self.constants.sigma_max
 
+        # memoize the jitted scan per (size, n_steps): rebuilding the closure
+        # per call would re-trace every sample()
+        if not hasattr(self, "_sample_runs"):
+            self._sample_runs = {}
+        run = self._sample_runs.get((size, n_steps))
+        if run is not None:
+            return run(self.params, diffused_images, scan_key)
+
         def make_predictions(params, images, ts):
             return EDMPredictions(
                 denoised_xs=self.denoised_fn(params, images, ts, augmentations),
@@ -222,6 +230,7 @@ class MonsterDiffusion:
             predictions = make_predictions(params, images, reversed_ts)
             return jnp.clip(predictions.denoised_images, 0, 1)
 
+        self._sample_runs[(size, n_steps)] = run
         return run(self.params, diffused_images, scan_key)
 
     elucidated_sample = sample
