@@ -85,15 +85,29 @@ def upfirdn2d(
         px0, px1, py0, py1 = padding
 
     kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    n, c, h, w = x.shape
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+
     if kernel.ndim == 1:
-        kernel = jnp.outer(kernel, kernel)
+        # Separable path: a 1D kernel means the 2D filter is its outer
+        # product, and the whole op factors into two independent 1D
+        # upfirdn passes (per-axis up/pad/FIR/down all commute across
+        # axes — the same split StyleGAN3's CUDA kernels use). k+k taps
+        # per pixel instead of k*k.
+        ky = kernel if flip_filter else kernel[::-1]
+        y = _depthwise_fir(
+            x, (ky * gain), axis=2, up=upy, down=downy, pad=(py0, py1)
+        )
+        y = _depthwise_fir(y, ky, axis=3, up=upx, down=downx, pad=(px0, px1))
+        return y.astype(in_dtype)
+
     if not flip_filter:
         # lax conv computes correlation with a flipped kernel; the reference
         # default (flip_filter=False) is correlation with the raw kernel.
         kernel = kernel[::-1, ::-1]
     kh, kw = kernel.shape
 
-    n, c, h, w = x.shape
     # gain semantics match the reference exactly: applied as given (callers
     # like filtered_lrelu pass up**2 themselves, upfirdn2d.py:146)
     kernel = (kernel * gain).astype(jnp.float32)
@@ -101,12 +115,11 @@ def upfirdn2d(
     # depthwise kernel: (kh, kw, 1, C) in HWIO
     dw_kernel = jnp.broadcast_to(kernel[:, :, None, None], (kh, kw, 1, c))
 
-    in_dtype = x.dtype
     # lhs_dilation inserts zeros BETWEEN samples only; the reference
     # (upfirdn2d.py:167-214) also appends up-1 trailing zeros per sample,
     # so the high-side padding absorbs them.
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x,
         dw_kernel,
         window_strides=(downy, downx),
         padding=((py0, py1 + (upy - 1)), (px0, px1 + (upx - 1))),
@@ -116,6 +129,35 @@ def upfirdn2d(
         precision=jax.lax.Precision.HIGHEST,
     )
     return y.astype(in_dtype)
+
+
+def _depthwise_fir(x, kernel1d, axis: int, up: int, down: int, pad):
+    """1D up/FIR/down along H (axis=2) or W (axis=3) of NCHW, depthwise.
+
+    `kernel1d` must already be flipped for lax correlation semantics.
+    """
+    c = x.shape[1]
+    k = kernel1d.shape[0]
+    if axis == 2:
+        dw = jnp.broadcast_to(kernel1d[:, None, None, None], (k, 1, 1, c))
+        strides = (down, 1)
+        padding = ((pad[0], pad[1] + (up - 1)), (0, 0))
+        dilation = (up, 1)
+    else:
+        dw = jnp.broadcast_to(kernel1d[None, :, None, None], (1, k, 1, c))
+        strides = (1, down)
+        padding = ((0, 0), (pad[0], pad[1] + (up - 1)))
+        dilation = (1, up)
+    return jax.lax.conv_general_dilated(
+        x,
+        dw.astype(jnp.float32),
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=dilation,
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def filter2d(x, kernel, gain: float = 1.0, flip_filter: bool = False):
