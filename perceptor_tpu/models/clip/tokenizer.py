@@ -104,14 +104,21 @@ class SimpleTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if _has_regex_module()
-            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-            re.IGNORECASE,
-        )
+        # unicode word classes need the `regex` module; std `re` lacks \p
+        # (ascii fallback keeps hermetic environments working)
+        regex_mod = _regex_module()
+        if regex_mod is not None:
+            self.pat = regex_mod.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+                r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+                regex_mod.IGNORECASE,
+            )
+        else:
+            self.pat = re.compile(
+                r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+                r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+                re.IGNORECASE,
+            )
 
     @property
     def sot_token(self) -> int:
@@ -160,7 +167,7 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         bpe_tokens: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        for token in self.pat.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ") if t in self.encoder
@@ -173,13 +180,13 @@ class SimpleTokenizer:
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
 
 
-def _has_regex_module() -> bool:
-    # std `re` lacks \p classes; fall back to ascii classes if `regex` absent
+def _regex_module():
     try:
-        re.compile(r"[\p{L}]")
-        return True
-    except re.error:
-        return False
+        import regex
+
+        return regex
+    except ImportError:
+        return None
 
 
 def tokenize(
