@@ -1,19 +1,23 @@
-"""LiT loss (reference perceptor/losses/lit.py:10-81) — pending.
+"""LiT guidance loss (reference perceptor/losses/lit.py:10-81).
 
-The reference wraps the external `pytorch-zero-lit` package (Google LiT
-dual encoders, LiT-B16B_2/LiT-L16L). The towers (AugReg ViT image +
-BERT-style text with LiT's own vocab) need their own port + weights;
-callers fail loudly rather than silently degrading.
+Prompt-bank spherical-distance loss over the LiT dual encoder
+(models/lit.py).  The reference resizes inside the loss to the tower's
+native resolution (lit.py:70-71); here the resize lives in the model's
+`encode_images_fn`, inside the jitted/differentiated path, which is the
+same computation.
 """
 
 from __future__ import annotations
 
-from perceptor_tpu.losses.interface import LossInterface
+from perceptor_tpu import models
+from perceptor_tpu.losses.prompt_bank import PromptBankLoss
 
 
-class LiT(LossInterface):
-    def __init__(self, name: str = "LiT-L16L", cache_dir="models"):
-        raise NotImplementedError(
-            "LiT needs a port of the pytorch-zero-lit towers; planned for a "
-            "later round"
-        )
+class LiT(PromptBankLoss):
+    def __init__(self, name: str = "LiT-L16L", **kwargs):
+        """
+        Args:
+            name: "LiT-B16B_2" or "LiT-L16L" (reference lit.py:13-22)
+        """
+        super().__init__(models.LiT(name, **kwargs))
+        self.name = name

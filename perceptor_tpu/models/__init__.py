@@ -44,6 +44,8 @@ _EXPORTS = {
     "BLIP": ("perceptor_tpu.models.blip", "BLIP"),
     "CLOOB": ("perceptor_tpu.models.cloob", "CLOOB"),
     "SLIP": ("perceptor_tpu.models.slip", "SLIP"),
+    "LiT": ("perceptor_tpu.models.lit", "LiT"),
+    "ResMem": ("perceptor_tpu.models.resmem", "ResMem"),
     "RuCLIP": ("perceptor_tpu.models.ruclip", "RuCLIP"),
     "GlideCLIP": ("perceptor_tpu.models.glide_clip", "GlideCLIP"),
     "OWLViT": ("perceptor_tpu.models.owlvit", "OWLViT"),
