@@ -32,4 +32,18 @@ __all__ = [
     "filtered_lrelu",
     "deform_conv2d",
     "upsample2x_nearest_conv3x3",
+    "flash_attention",
 ]
+
+
+def __getattr__(name):
+    if name == "flash_attention":
+        # lazy: importing the kernel pulls in pallas. Caveat: a prior
+        # `import perceptor_tpu.ops.flash_attention` binds the SUBMODULE on
+        # the package first, shadowing this function re-export; internal
+        # call sites therefore always use the explicit module path.
+        from perceptor_tpu.ops.flash_attention import flash_attention
+
+        globals()[name] = flash_attention
+        return flash_attention
+    raise AttributeError(f"module 'perceptor_tpu.ops' has no attribute {name!r}")

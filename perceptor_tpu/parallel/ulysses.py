@@ -19,7 +19,6 @@ differ). Plain differentiable JAX: all_to_all transposes to all_to_all.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -36,6 +35,7 @@ def ulysses_self_attention(
     v: jax.Array,
     axis_name: str,
     scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
 ) -> jax.Array:
     """Per-shard Ulysses body — call INSIDE shard_map.
 
@@ -43,6 +43,8 @@ def ulysses_self_attention(
     `axis_name`; H must divide by the axis size. all_to_all swaps the
     shard axis from seq to heads, attention runs with the full sequence
     local, and the inverse all_to_all restores the seq sharding.
+    `kv_len`: number of REAL keys — positions beyond it (divisibility
+    padding) are masked out of the softmax.
     """
     n = jax.lax.axis_size(axis_name)
     heads = q.shape[1]
@@ -61,8 +63,13 @@ def ulysses_self_attention(
             x, axis_name, split_axis=2, concat_axis=1, tiled=True
         )
 
+    k_full = to_head_sharded(k)
+    mask = None
+    if kv_len is not None and kv_len < k_full.shape[2]:
+        key_pos = jnp.arange(k_full.shape[2])
+        mask = jnp.where(key_pos < kv_len, 0.0, -1e10)[None, None, None, :]
     out = dot_product_attention(
-        to_head_sharded(q), to_head_sharded(k), to_head_sharded(v), scale=scale
+        to_head_sharded(q), k_full, to_head_sharded(v), mask=mask, scale=scale
     )
     return to_seq_sharded(out)
 
@@ -78,22 +85,33 @@ def ulysses_attention(
 ) -> jax.Array:
     """Head-sharded sequence-parallel attention over global (B, H, S, D).
 
-    S (for q and k/v independently) must divide by the context axis size,
-    as must the head count.
+    The head count must divide by the context axis size. Sequence lengths
+    need NOT divide: q and k/v are zero-padded to the next multiple (the
+    cross-attention K/V of 77 text tokens is the motivating case), padded
+    keys are masked out of the softmax, and padded query rows are sliced
+    off the output.
     """
     if batch_axis is not None and batch_axis not in mesh.axis_names:
         batch_axis = None
     if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
         batch_axis = None
     n = mesh.shape[context_axis]
-    if q.shape[2] % n or k.shape[2] % n:
-        raise ValueError(
-            f"sequence lengths ({q.shape[2]}, {k.shape[2]}) must divide "
-            f"context axis size {n}"
-        )
+
+    def pad_seq(x):
+        pad = (-x.shape[2]) % n
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    q_len, kv_len = q.shape[2], k.shape[2]
+    q, k, v = pad_seq(q), pad_seq(k), pad_seq(v)
     spec = P(batch_axis, None, context_axis, None)
     body = functools.partial(
-        ulysses_self_attention, axis_name=context_axis, scale=scale
+        ulysses_self_attention,
+        axis_name=context_axis,
+        scale=scale,
+        kv_len=kv_len,
     )
     f = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-    return f(q, k, v)
+    out = f(q, k, v)
+    return out[:, :, :q_len] if out.shape[2] != q_len else out

@@ -62,6 +62,8 @@ class StepTimer:
         self.times.append(time.perf_counter() - start)
 
     def summary(self, skip_warmup: int = 1) -> dict:
+        if not self.times:
+            raise ValueError("StepTimer.summary() called before any steps")
         times = np.asarray(self.times[skip_warmup:] or self.times)
         return {
             "steps": int(times.size),

@@ -15,7 +15,7 @@ module to hang state on), so `load_session(path, like=state)` mirrors
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 
@@ -55,7 +55,7 @@ def save_session(path: str, state: Any) -> str:
     return path
 
 
-def load_session(path: str, like: Any, key_paths: Optional[set] = None) -> Any:
+def load_session(path: str, like: Any) -> Any:
     """Restore a session pytree saved by save_session.
 
     `like` is a pytree with the target structure (typically a freshly

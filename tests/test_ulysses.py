@@ -50,11 +50,24 @@ def test_ulysses_grad_matches_full():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_ulysses_rejects_bad_shapes():
+def test_ulysses_rejects_bad_heads():
     mesh = parallel.create_mesh(data=1, context=8)
     q, k, v = _qkv(jax.random.PRNGKey(3), h=4)  # 4 heads < 8 devices
     with pytest.raises(ValueError):
         ulysses_attention(q, k, v, mesh)
-    q, k, v = _qkv(jax.random.PRNGKey(4), sq=60)
-    with pytest.raises(ValueError):
-        ulysses_attention(q, k, v, mesh)
+
+
+def test_ulysses_pads_indivisible_sequences():
+    """77-token cross-attention K/V (prime — divides by nothing): padded
+    keys are masked, padded query rows sliced off; matches full attention."""
+    mesh = parallel.create_mesh(data=1, context=8)
+    q, k, v = _qkv(jax.random.PRNGKey(4), sq=64, sk=77)
+    out = ulysses_attention(q, k, v, mesh)
+    expected = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+    # indivisible q too
+    q, k, v = _qkv(jax.random.PRNGKey(5), sq=60, sk=77)
+    out = ulysses_attention(q, k, v, mesh)
+    expected = dot_product_attention(q, k, v)
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
