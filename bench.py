@@ -30,7 +30,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 QUICK = os.environ.get("BENCH_QUICK", "") == "1"
 
 
-def build():
+def _parse_mesh_arg(argv):
+    """`--mesh DxT` -> (data, tensor) or None. "1x1" runs single-chip
+    unchanged; anything larger needs that many attached devices (turnkey
+    for real multi-chip hardware; sharding correctness is covered by the
+    virtual-mesh tests + dryrun_multichip)."""
+    for i, arg in enumerate(argv):
+        if arg == "--mesh" and i + 1 < len(argv):
+            d, t = argv[i + 1].lower().split("x")
+            return int(d), int(t)
+        if arg.startswith("--mesh="):
+            d, t = arg.split("=", 1)[1].lower().split("x")
+            return int(d), int(t)
+    return None
+
+
+def build(mesh_spec=None):
     from perceptor_tpu.core.init import init_by_shape
     from perceptor_tpu.models.stable_diffusion import (
         AutoencoderKL,
@@ -137,11 +152,31 @@ def build():
         return jax.lax.scan(body, latents, None, length=n)
 
     params = (unet_params, vae_params, clip_params)
+    if mesh_spec is not None and mesh_spec != (1, 1):
+        from perceptor_tpu import parallel
+
+        data, tensor = mesh_spec
+        mesh = parallel.create_mesh(
+            data=data, tensor=tensor, devices=jax.devices()[: data * tensor]
+        )
+        unet_params, vae_params, clip_params = (
+            parallel.shard_params(p, mesh) for p in params
+        )
+        params = (unet_params, vae_params, clip_params)
+        if latents.shape[0] % data == 0:
+            latents = parallel.shard_batch(latents, mesh)
+            context = parallel.shard_batch(context, mesh)
+        else:
+            latents = parallel.replicate(latents, mesh)
+            context = parallel.replicate(context, mesh)
     return guided_denoise_step, guided_denoise_scan, params, latents, context
 
 
 def main():
-    step, scan, (unet_params, vae_params, clip_params), latents, context = build()
+    mesh_spec = _parse_mesh_arg(sys.argv[1:])
+    step, scan, (unet_params, vae_params, clip_params), latents, context = build(
+        mesh_spec
+    )
 
     n = 3 if QUICK else 10
     # compile + warmup (one scanned program covering all n steps)

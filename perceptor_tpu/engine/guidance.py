@@ -134,28 +134,110 @@ def guided_sample(
     loss_weights: Optional[Sequence[float]] = None,
     eta: float = 0.0,
     key=None,
+    correction: bool = False,
+    n_resample: int = 0,
+    threshold: Optional[str] = None,
+    threshold_quantile: float = 0.95,
+    clamp_value: float = 1e-6,
+    mesh=None,
+    rules=None,
 ):
     """Loss-guided DDIM sampling as ONE compiled lax.scan program.
 
     Per step (the reference's user-script loop, SURVEY §3.3): model
     predictions at `from_index` -> decode denoised images -> weighted loss
     sum -> VJP back through decoder+UNet to the diffused latents ->
-    `.guided(grad, guidance_scale).step(to_index)`. `pairs` is an
-    (n_steps, 2) int array of (from, to) schedule indices (e.g.
-    `model.schedule_indices(...)`). Model weights and loss towers ride as
-    jit arguments (never constants).
+    `.guided(grad, guidance_scale)` -> optional thresholding -> DDIM step.
+    `pairs` is an (n_steps, 2) int array of (from, to) schedule indices
+    (e.g. `model.schedule_indices(...)`). Model weights and loss towers
+    ride as jit arguments (never constants).
+
+    Sampling options (each maps to one predictions-algebra method the
+    reference's user loops compose per step):
+
+    - ``eta``: stochastic DDIM (``step(eta=...)``); traced, so sweeping
+      values reuses one executable.
+    - ``correction``: PNDM-ish second-order correction — after stepping,
+      re-evaluate the model at the new point (no extra VJP) and average
+      the two denoised estimates (``predictions.correction``), then
+      re-step.
+    - ``n_resample``: RePaint-style churn — n guided resample iterations
+      per schedule step (guided grads applied before each resample, the
+      `guided_resample_` pattern of reference losses/velocity_diffusion.py).
+    - ``threshold``: "dynamic" (Imagen percentile clamp, with
+      ``threshold_quantile``) or "static" ([-1,1] clamp) applied to the
+      guided predictions before stepping.
+    - ``clamp_value``: the guided() gradient clamp (reference
+      predictions.py:148-155 `clamp=1e-6`). NOTE the default turns the
+      gradient into ~sign(grad) — near-zero gradient elements are
+      numerically chaotic across compilations; pass a larger value for a
+      smooth (magnitude-preserving) guidance signal.
+    - ``mesh``/``rules``: shard the whole loop over a device mesh — model
+      and loss-tower params partitioned by the tensor-parallel rules
+      (parallel/partition.py; `rules=None` uses the defaults), the batch
+      over the data axis. Single-device behavior is unchanged when None.
 
     Returns (final diffused latents, per-step total loss array).
 
-    Each invocation traces/compiles its own scan program; for repeated
-    sampling with the same model+losses, hold onto a partial of this
-    function's arguments or use the model's own memoized `sample()`.
+    Compiled programs are memoized on the model instance per static
+    configuration (losses, weights, flags) — repeated calls with different
+    guidance_scale/eta/latents do not retrace.
     """
-    weights = list(loss_weights) if loss_weights is not None else [1.0] * len(losses)
+    weights = tuple(loss_weights) if loss_weights is not None else (1.0,) * len(losses)
     _, _, loss_fns, loss_frozen = _gather_frozen(lambda p: p, losses)
     pairs = jnp.asarray(pairs)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if threshold not in (None, "dynamic", "static"):
+        raise ValueError(f"threshold must be None|'dynamic'|'static', got {threshold!r}")
+
+    mparams = model.params
+    latents = initial_latents
+    if mesh is not None:
+        from perceptor_tpu import parallel
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_kwargs = {} if rules is None else {"rules": rules}
+        mparams = parallel.shard_params(mparams, mesh, **shard_kwargs)
+        loss_frozen = tuple(
+            parallel.shard_params(lp, mesh, **shard_kwargs) if lp is not None else None
+            for lp in loss_frozen
+        )
+        if latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
+            latents = parallel.shard_batch(latents, mesh)
+        else:
+            latents = parallel.replicate(latents, mesh)
+        if conditioning is not None:
+            conditioning = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
+                conditioning,
+            )
+
+    stochastic = float(eta) > 0.0
+    run_key = (
+        tuple(id(loss) for loss in losses), weights, bool(correction),
+        int(n_resample), threshold, float(threshold_quantile), stochastic,
+        float(clamp_value),
+    )
+    runs = model.__dict__.setdefault("_guided_runs", {})
+    run = runs.get(run_key)
+    if run is None:
+        run = _build_guided_run(
+            model, losses, loss_fns, weights, correction, n_resample,
+            threshold, threshold_quantile, stochastic, clamp_value,
+        )
+        runs[run_key] = run
+    return run(
+        mparams, latents, pairs, loss_frozen, conditioning, key,
+        jnp.float32(guidance_scale), jnp.float32(eta),
+    )
+
+
+def _build_guided_run(
+    model, losses, loss_fns, weights, correction, n_resample, threshold,
+    threshold_quantile, stochastic, clamp_value,
+):
+    """Compile-once jitted scan for guided_sample's static configuration."""
 
     def total_loss(latents, from_idx, mparams, loss_p, cond):
         predictions = model.predictions_fn(mparams, latents, from_idx, cond)
@@ -168,28 +250,56 @@ def guided_sample(
         total = jnp.sum(jnp.stack(values) * jnp.asarray(weights))
         return total, predictions
 
+    def apply_threshold(predictions):
+        if threshold == "dynamic":
+            return predictions.dynamic_threshold(threshold_quantile)
+        if threshold == "static":
+            return predictions.static_threshold()
+        return predictions
+
     @jax.jit
-    def run(mparams, latents, pairs, loss_p, cond, key):
-        def body(carry, pair):
-            latents, key = carry
-            from_idx, to_idx = pair[0][None], pair[1][None]
+    def run(mparams, latents, pairs, loss_p, cond, key, guidance_scale, eta):
+        def guided_predictions(latents, from_idx):
             (value, predictions), grads = jax.value_and_grad(
                 total_loss, has_aux=True
             )(latents, from_idx, mparams, loss_p, cond)
-            guided = predictions.guided(grads, guidance_scale)
-            if eta > 0.0:
+            return apply_threshold(
+                predictions.guided(grads, guidance_scale, clamp_value=clamp_value)
+            ), value
+
+        def body(carry, pair):
+            latents, key = carry
+            from_idx, to_idx = pair[0][None], pair[1][None]
+            # RePaint churn with guidance each iteration (the reference's
+            # guided_resample_ pattern, losses/velocity_diffusion.py:33-61)
+            for _ in range(n_resample):
+                key, resample_key = jax.random.split(key)
+                guided, _ = guided_predictions(latents, from_idx)
+                latents = guided.resample(to_idx, key=resample_key)
+            guided, value = guided_predictions(latents, from_idx)
+            if stochastic:
                 key, step_key = jax.random.split(key)
                 stepped = guided.step(to_idx, eta=eta, key=step_key)
             else:
                 stepped = guided.step(to_idx)
+            if correction:
+                # second-order: re-evaluate at the stepped point (forward
+                # only), average denoised estimates, re-step
+                predictions2 = model.predictions_fn(
+                    mparams, stepped, to_idx, cond
+                )
+                corrected = apply_threshold(predictions2.correction(guided))
+                if stochastic:
+                    key, step_key = jax.random.split(key)
+                    stepped = corrected.step(to_idx, eta=eta, key=step_key)
+                else:
+                    stepped = corrected.step(to_idx)
             return (stepped, key), value
 
         (latents, _), history = jax.lax.scan(body, (latents, key), pairs)
         return latents, history
 
-    return run(
-        model.params, initial_latents, pairs, loss_frozen, conditioning, key
-    )
+    return run
 
 
 def run_on_device(

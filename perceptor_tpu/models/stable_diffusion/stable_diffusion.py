@@ -440,6 +440,8 @@ class StableDiffusion:
         mask_blur: float = 4.0,
         replace_diffused: bool = True,
         cache_interval: int = 1,
+        mesh=None,
+        rules=None,
     ) -> jax.Array:
         """Text -> images as ONE compiled program (lax.scan over the
         schedule). Functional replacement for the reference's host-side
@@ -454,7 +456,13 @@ class StableDiffusion:
         `cache_interval`-th step and reused (shallow level only) in
         between — ~k-fold fewer deep-block FLOPs at a small, bounded
         quality cost. The default (1) is exact. Incompatible with
-        n_resample (each RePaint inner eval would need its own refresh)."""
+        n_resample (each RePaint inner eval would need its own refresh).
+
+        `mesh`/`rules` shard the whole sampling scan over a device mesh:
+        UNet/VAE/text params partitioned by the tensor-parallel rules
+        (parallel/partition.py defaults when `rules=None`), the latent
+        batch over the data axis (when divisible; replicated otherwise).
+        Single-device behavior is unchanged when mesh is None."""
         key = key if key is not None else jax.random.PRNGKey(0)
         texts = list(texts)
         uncond = self.conditioning(
@@ -491,26 +499,37 @@ class StableDiffusion:
             latents = self.diffuse_latents(
                 init_latents, int(pairs[0, 0]), init_key
             )
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params = parallel.shard_params(
+                params, mesh, **({} if rules is None else {"rules": rules})
+            )
         latents = self._sample_scan(
-            self.params, latents, pairs, uncond, cond, guidance_scale, eta,
+            params, latents, pairs, uncond, cond, guidance_scale, eta,
             scan_key, n_resample=n_resample, init_latents=init_latents,
             replace_diffused=replace_diffused, cache_interval=cache_interval,
+            mesh=mesh,
         )
-        return self.decode_fn(self.params, latents)
+        return self.decode_fn(params, latents)
 
     def _sample_scan(
         self, params, latents, pairs, uncond, cond, guidance_scale, eta, key,
         n_resample: int = 0, init_latents=None, replace_diffused: bool = False,
-        cache_interval: int = 1,
+        cache_interval: int = 1, mesh=None,
     ):
         import functools
 
         if cache_interval > 1 and n_resample > 0:
             raise ValueError("cache_interval and n_resample are incompatible")
         # memoize the jitted scan per static config: defining `run` fresh on
-        # every call would miss jax's jit cache and re-trace each sample()
+        # every call would miss jax's jit cache and re-trace each sample().
+        # guidance_scale and eta are TRACED arguments, so the memo is keyed
+        # only on program structure — sweeping scales reuses one executable
+        stochastic = float(eta) > 0.0
         run_key = (
-            float(guidance_scale), float(eta), int(n_resample),
+            stochastic, int(n_resample),
             bool(replace_diffused), int(cache_interval),
         )
         if not hasattr(self, "_sample_runs"):
@@ -537,15 +556,34 @@ class StableDiffusion:
         if init_latents is None:
             init_latents = jnp.zeros_like(latents)
 
+        if mesh is not None:
+            from perceptor_tpu import parallel
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def repl(tree):
+                return jax.tree.map(
+                    lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
+                    tree,
+                )
+
+            if latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
+                latents = parallel.shard_batch(latents, mesh)
+                init_latents = parallel.shard_batch(init_latents, mesh)
+            else:
+                latents, init_latents = repl(latents), repl(init_latents)
+            pairs, cond2, key = repl(pairs), repl(cond2), repl(key)
+
         if cached_run is not None:
             return cached_run(
                 params, latents, pairs, cond2, init_latents, key,
-                float(eta), int(n_resample), do_replace, int(cache_interval),
+                jnp.float32(guidance_scale), jnp.float32(eta),
+                int(n_resample), do_replace, int(cache_interval), stochastic,
             )
 
-        @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+        @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
         def run(params, latents, pairs, cond2, init_latents, key,
-                eta, n_resample, do_replace, cache_interval):
+                guidance_scale, eta, n_resample, do_replace, cache_interval,
+                stochastic):
             n = latents.shape[0]
 
             def unet2(lat2, ts2, cache, use_cache):
@@ -607,7 +645,7 @@ class StableDiffusion:
                     latents, from_idx, cache, use_cache
                 )
                 key, step_key = jax.random.split(key)
-                if eta > 0.0:
+                if stochastic:
                     latents = predictions.step(to_idx, eta=eta, key=step_key)
                 else:
                     latents = predictions.step(to_idx)
@@ -648,7 +686,8 @@ class StableDiffusion:
         self._sample_runs[run_key] = run
         return run(
             params, latents, pairs, cond2, init_latents, key,
-            float(eta), int(n_resample), do_replace, int(cache_interval),
+            jnp.float32(guidance_scale), jnp.float32(eta),
+            int(n_resample), do_replace, int(cache_interval), stochastic,
         )
 
     def sample_iter(

@@ -61,11 +61,13 @@ class PredictionAlgebra:
         """DDIM update to noise level `to`; eta>0 adds fresh noise.
 
         Reference velocity_diffusion/predictions.py:68-105 (identical math in
-        stable_diffusion/predictions.py:60-98). `eta` is a static python
-        float; the eta>0 branch requires `key`.
+        stable_diffusion/predictions.py:60-98). `eta` may be a python float
+        (eta>0 selects the stochastic branch at trace time) or a traced
+        scalar (always the stochastic branch — exact for eta=0 too, since
+        ddim_sigma then vanishes); the stochastic branch requires `key`.
         """
         to_alphas, to_sigmas = self.alphas(to), self.sigmas(to)
-        if eta > 0.0:
+        if isinstance(eta, jax.Array) or eta > 0.0:
             if key is None:
                 raise ValueError("step(eta>0) is stochastic: pass key=")
             ddim_sigma = (

@@ -120,3 +120,149 @@ def test_guided_sample_scan(clip_loss):
         conditioning=conditioning, guidance_scale=0.0,
     )
     assert bool(jnp.any(jnp.abs(final - unguided) > 1e-6))
+
+
+def test_textoff_vectors_shipped():
+    """The per-arch textoff table ships in-package (reference
+    perceptor/losses/clip/vectors/textoff.json) and add_text_off_ loads it."""
+    import json
+
+    from perceptor_tpu.losses.clip import _TEXTOFF_PATH, CLIP as CLIPLoss
+    from perceptor_tpu.losses.prompt_bank import PromptBankLoss
+
+    table = json.load(open(_TEXTOFF_PATH))
+    for arch in ("RN50", "RN101", "RN50x4", "RN50x16", "ViT-B-32", "ViT-B-16"):
+        assert arch in table
+
+    # exercise add_text_off_ without constructing the heavyweight tower:
+    # the method only touches self.name and the prompt bank
+    loss = CLIPLoss.__new__(CLIPLoss)
+    PromptBankLoss.__init__(loss, model=None)
+    loss.name = "ViT-B-32"
+    loss.add_text_off_(weight=0.5)
+    assert loss.encodings.shape == (1, 512)
+    assert float(loss.bank_weights[0]) == 0.5
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(loss.encodings)), 1.0, atol=1e-5
+    )
+
+    loss.name = "nonexistent-arch"
+    with pytest.raises(ValueError):
+        loss.add_text_off_()
+
+
+def _tiny_sd():
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import StableDiffusion
+
+    return StableDiffusion(
+        name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[])
+    )
+
+
+def test_guided_sample_options_match_stepwise_algebra(clip_loss):
+    """correction/threshold/eta flags compose exactly the per-step algebra
+    methods the reference's user loops call (VelocityDiffusion
+    predictions.py: step/correction/dynamic_threshold)."""
+    model = _tiny_sd()
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=3, from_index=800, to_index=200)
+    key = jax.random.PRNGKey(0)
+    latents0 = model.random_diffused_latents((1, 32, 32), key)
+
+    final, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=conditioning,
+        guidance_scale=0.3, correction=True, threshold="dynamic",
+        threshold_quantile=0.9, clamp_value=1.0,
+    )
+
+    # manual stepwise composition through the public algebra
+    def loss_grad(latents, from_idx):
+        def f(latents):
+            predictions = model.predictions_fn(
+                model.params, latents, from_idx, conditioning
+            )
+            return clip_loss.apply(
+                clip_loss.loss_params, predictions.denoised_images
+            )
+        return jax.grad(f)(latents)
+
+    latents = latents0
+    for pair in np.asarray(pairs):
+        from_idx, to_idx = (
+            jnp.asarray([pair[0]]), jnp.asarray([pair[1]]),
+        )
+        grads = loss_grad(latents, from_idx)
+        predictions = model.predictions_fn(
+            model.params, latents, from_idx, conditioning
+        )
+        guided = predictions.guided(
+            grads, 0.3, clamp_value=1.0
+        ).dynamic_threshold(0.9)
+        stepped = guided.step(to_idx)
+        predictions2 = model.predictions_fn(
+            model.params, stepped, to_idx, conditioning
+        )
+        corrected = predictions2.correction(guided).dynamic_threshold(0.9)
+        latents = corrected.step(to_idx)
+
+    np.testing.assert_allclose(
+        np.asarray(final), np.asarray(latents), atol=1e-5
+    )
+
+
+def test_guided_sample_memoizes_per_static_config(clip_loss):
+    model = _tiny_sd()
+    model.__dict__.pop("_guided_runs", None)
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    for scale in (0.1, 0.5, 0.9):
+        engine.guided_sample(
+            model, [clip_loss], latents, pairs, conditioning=conditioning,
+            guidance_scale=scale,
+        )
+    assert len(model._guided_runs) == 1  # traced arg, one executable
+    engine.guided_sample(
+        model, [clip_loss], latents, pairs, conditioning=conditioning,
+        correction=True,
+    )
+    assert len(model._guided_runs) == 2  # new static structure
+
+
+def test_guided_sample_n_resample_and_eta(clip_loss):
+    model = _tiny_sd()
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    final, history = engine.guided_sample(
+        model, [clip_loss], latents, pairs, conditioning=conditioning,
+        n_resample=2, eta=0.7, key=jax.random.PRNGKey(1),
+    )
+    assert final.shape == latents.shape
+    assert bool(jnp.all(jnp.isfinite(final)))
+    assert history.shape == (2,)
+
+
+def test_guided_sample_mesh_matches_unsharded(clip_loss):
+    """8-way data-sharded guided sampling == unsharded (item: mesh-aware
+    engine; TP rules demote on tiny shapes, DP shards the batch)."""
+    from perceptor_tpu import parallel
+
+    model = _tiny_sd()
+    mesh = parallel.create_mesh(data=4, tensor=2)
+    conditioning = model.conditioning(["a test"] * 8)
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((8, 32, 32), jax.random.PRNGKey(0))
+    expected, _ = engine.guided_sample(
+        model, [clip_loss], latents, pairs, conditioning=conditioning,
+        guidance_scale=0.3, clamp_value=1.0,
+    )
+    sharded, _ = engine.guided_sample(
+        model, [clip_loss], latents, pairs, conditioning=conditioning,
+        guidance_scale=0.3, clamp_value=1.0, mesh=mesh,
+    )
+    # GSPMD collectives reassociate reductions: small fp drift expected
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(expected), atol=1e-4
+    )

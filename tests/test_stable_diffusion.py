@@ -364,3 +364,45 @@ def test_sd_sample_inpainting_replace_diffused():
     )
     assert images.shape == (1, 3, size, size)
     assert bool(jnp.all(jnp.isfinite(images)))
+
+
+def test_sd_sample_memo_shared_across_scales(tiny_sd):
+    """Sweeping guidance_scale / eta values must NOT grow the compiled-run
+    memo: they are traced arguments, keyed only on program structure."""
+    tiny_sd.sample(["a photo"], n_steps=2, size=(16, 16), key=jax.random.PRNGKey(0))
+    baseline = len(tiny_sd._sample_runs)
+    for scale in (1.0, 3.5, 7.0):
+        tiny_sd.sample(
+            ["a photo"], n_steps=2, size=(16, 16), guidance_scale=scale,
+            key=jax.random.PRNGKey(0),
+        )
+    assert len(tiny_sd._sample_runs) == baseline
+    tiny_sd.sample(
+        ["a photo"], n_steps=2, size=(16, 16), eta=0.5,
+        key=jax.random.PRNGKey(0),
+    )
+    tiny_sd.sample(
+        ["a photo"], n_steps=2, size=(16, 16), eta=0.8,
+        key=jax.random.PRNGKey(0),
+    )
+    # exactly one extra entry: the stochastic=True structure
+    assert len(tiny_sd._sample_runs) == baseline + 1
+
+
+def test_sd_sample_mesh_matches_unsharded(tiny_sd):
+    """sample(mesh=) shards params by TP rules + the batch over data; the
+    result matches the single-device program."""
+    from perceptor_tpu import parallel
+
+    mesh = parallel.create_mesh(data=4, tensor=2)
+    kwargs = dict(n_steps=3, size=(16, 16), key=jax.random.PRNGKey(0))
+    expected = tiny_sd.sample(["a photo"] * 8, **kwargs)
+    sharded = tiny_sd.sample(["a photo"] * 8, mesh=mesh, **kwargs)
+    assert sharded.shape == expected.shape
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(expected), atol=1e-2
+    )
+    # indivisible batch falls back to replication, still correct
+    one = tiny_sd.sample(["a photo"], mesh=mesh, **kwargs)
+    assert one.shape == (1, 3, 16, 16)
+    assert bool(jnp.all(jnp.isfinite(one)))
