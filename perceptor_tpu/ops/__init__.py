@@ -5,9 +5,12 @@ Exports are EAGER imports: several export names (`attention`,
 lazy `__getattr__` for those is unreliable — the first
 `import perceptor_tpu.ops.attention` anywhere binds the submodule as a
 package attribute, silently shadowing the function. Binding the
-functions at package import keeps `ops.attention(q, k, v)` stable. The
-only heavyweight import (pallas, inside flash_attention) stays lazy
-under a name that does not collide with its module path.
+functions at package import keeps `ops.attention(q, k, v)` stable.
+
+The one exception is `flash_attention`: its import is heavyweight
+(pallas), so it stays lazy — and to make the lazy function export
+reliable, the implementation module is named `flash_attention_kernel`
+(a same-named submodule would shadow the function on first import).
 """
 
 from perceptor_tpu.ops.attention import attention
@@ -38,11 +41,7 @@ __all__ = [
 
 def __getattr__(name):
     if name == "flash_attention":
-        # lazy: importing the kernel pulls in pallas. Caveat: a prior
-        # `import perceptor_tpu.ops.flash_attention` binds the SUBMODULE on
-        # the package first, shadowing this function re-export; internal
-        # call sites therefore always use the explicit module path.
-        from perceptor_tpu.ops.flash_attention import flash_attention
+        from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
         globals()[name] = flash_attention
         return flash_attention

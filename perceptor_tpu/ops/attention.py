@@ -61,7 +61,7 @@ def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
     try:
-        from perceptor_tpu.ops import flash_attention as _  # noqa: F401
+        from perceptor_tpu.ops import flash_attention_kernel as _  # noqa: F401
 
         return True
     except Exception:
@@ -90,7 +90,7 @@ def attention(
             and jax.devices()[0].platform not in ("cpu",)
         )
     if use_flash and _flash_available():
-        from perceptor_tpu.ops.flash_attention import flash_attention
+        from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
     return dot_product_attention(q, k, v, mask=mask, scale=scale)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from perceptor_tpu.ops.attention import dot_product_attention
-from perceptor_tpu.ops.flash_attention import flash_attention
+from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
 
 def _qkv(key=0, b=2, h=2, s=256, d=64):
