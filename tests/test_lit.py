@@ -58,7 +58,6 @@ def test_lit_wrapper_and_loss():
     assert bool(jnp.any(grads != 0))
 
 
-@pytest.mark.slow
 def test_lit_full_model_parity_vs_torch_twin():
     torch = pytest.importorskip("torch")
     from transformers import BertConfig, BertModel, ViTConfig, ViTModel

@@ -34,7 +34,6 @@ def test_memorability_pure_apply_matches_forward():
     )
 
 
-@pytest.mark.slow
 def test_parity_resmem_vs_torch_twin():
     import torch
     from tests.test_midas_v21 import _randomize_bn, _torch_resnext
