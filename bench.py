@@ -89,6 +89,14 @@ def build(mesh_spec=None):
         jnp.zeros((1, clip_config.context_length), jnp.int32),
     )["params"]
 
+    # bf16 weight STORAGE (the compute path already casts to bf16): halves
+    # the ~8 GB/step of weight HBM reads in the fused step
+    from perceptor_tpu.core.dtypes import cast_matmul_params_bf16
+
+    unet_params = cast_matmul_params_bf16(unet_params)
+    vae_params = cast_matmul_params_bf16(vae_params)
+    clip_params = cast_matmul_params_bf16(clip_params)
+
     alphas, sigmas = scaled_linear_alphas_sigmas()
     alphas, sigmas = jnp.asarray(alphas), jnp.asarray(sigmas)
     target = jax.random.normal(jax.random.PRNGKey(2), (1, clip_config.embed_dim))
@@ -178,7 +186,10 @@ def main():
         mesh_spec
     )
 
-    n = 3 if QUICK else 10
+    # 30 steps: long enough that the fixed per-dispatch RPC overhead of the
+    # remote-TPU tunnel (~46 ms, docs/PERFORMANCE.md "MFU") is <2% of the
+    # measurement, i.e. the number reflects the device rate
+    n = 3 if QUICK else 30
     # compile + warmup (one scanned program covering all n steps)
     t0 = time.time()
     out, losses = scan(unet_params, vae_params, clip_params, latents, context, n)

@@ -205,6 +205,18 @@ class StableDiffusion:
     # -- parameters -----------------------------------------------------------
 
     def _load_or_init_params(self):
+        params = self._load_or_init_params_fp32()
+        if self.unet.dtype == jnp.bfloat16:
+            # bf16 STORAGE for matmul/conv weights: the compute path casts
+            # to bf16 anyway, so this is numerically identical while halving
+            # weight HBM reads (the reference's fp16-revision analogue,
+            # reference stable_diffusion.py:86-97)
+            from perceptor_tpu.core.dtypes import cast_matmul_params_bf16
+
+            params = cast_matmul_params_bf16(params)
+        return params
+
+    def _load_or_init_params_fp32(self):
         path = find_checkpoint(
             f"stable_diffusion_{self.name.replace('/', '_')}", self.name
         )

@@ -30,6 +30,8 @@ from flax import linen as nn
 
 from perceptor_tpu.models.stable_diffusion.config import UNetConfig
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.groupnorm import GroupNormSiLU
+from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
 
 def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):
@@ -74,20 +76,18 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = group_norm(x, "norm1")
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(out_dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(h.astype(self.dtype))
+        )(h)
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             jax.nn.silu(emb).astype(self.dtype)
         )
         h = h + emb_out[:, None, None, :]
-        h = group_norm(h, "norm2")
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(out_dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(h.astype(self.dtype))
+        )(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
@@ -203,8 +203,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
@@ -334,11 +333,10 @@ class UNet(nn.Module):
             deep_feature = x
             x = up_level(n_levels - 1, x)
 
-        x = group_norm(x, "conv_norm_out")
-        x = jax.nn.silu(x)
+        x = GroupNormSiLU(out_dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(x.astype(self.dtype))
+        )(x)
         out = x.transpose(0, 3, 1, 2).astype(jnp.float32)  # NHWC -> NCHW
         if return_cache:
             if cache is not None:

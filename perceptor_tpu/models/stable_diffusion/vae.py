@@ -19,6 +19,8 @@ from flax import linen as nn
 
 from perceptor_tpu.models.stable_diffusion.config import VAEConfig
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.groupnorm import GroupNormSiLU
+from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
 
 def group_norm(x, name: str):
@@ -36,15 +38,13 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = group_norm(x, "norm1")
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(
-            h.astype(self.dtype)
+            h
         )
-        h = group_norm(h, "norm2")
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(
-            h.astype(self.dtype)
+            h
         )
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -114,8 +114,7 @@ class Encoder(nn.Module):
             channels[-1], dtype=self.dtype, use_attention=cfg.mid_attention,
             name="mid_block",
         )(x)
-        x = group_norm(x, "conv_norm_out")
-        x = jax.nn.silu(x)
+        x = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="conv_norm_out")(x)
         out_ch = (2 if cfg.double_z else 1) * cfg.latent_channels
         return nn.Conv(
             out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
@@ -145,14 +144,12 @@ class Decoder(nn.Module):
                         dtype=self.dtype, name=f"up_blocks_{i}_attentions_{j}"
                     )(x)
             if i < len(channels) - 1:
-                b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+                x = nearest_upsample_2x(x)
                 x = nn.Conv(
                     ch, (3, 3), padding=1, dtype=self.dtype,
                     name=f"up_blocks_{i}_upsamplers_0_conv",
                 )(x)
-        x = group_norm(x, "conv_norm_out")
-        x = jax.nn.silu(x)
+        x = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="conv_norm_out")(x)
         return nn.Conv(
             cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x.astype(self.dtype))

@@ -18,6 +18,7 @@ from perceptor_tpu.ops.bias_act import bias_act
 from perceptor_tpu.ops.clamp import clamp_with_grad
 from perceptor_tpu.ops.deform_conv import deform_conv2d
 from perceptor_tpu.ops.filtered_lrelu import filtered_lrelu
+from perceptor_tpu.ops.grid_sample import flow_warp, grid_sample
 from perceptor_tpu.ops.groupnorm import group_norm, group_norm_silu
 from perceptor_tpu.ops.resize import resize, resize_matrices
 from perceptor_tpu.ops.upfirdn import upfirdn2d
@@ -35,6 +36,8 @@ __all__ = [
     "filtered_lrelu",
     "deform_conv2d",
     "upsample2x_nearest_conv3x3",
+    "grid_sample",
+    "flow_warp",
     "flash_attention",
 ]
 
