@@ -23,6 +23,8 @@ from perceptor_tpu.models.stable_diffusion.unet import (
     timestep_embedding,
 )
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.groupnorm import GroupNormSiLU, ScaleShiftGroupNormSiLU
+from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
 
 def group_norm(x, name: str):
@@ -38,8 +40,7 @@ def group_norm(x, name: str):
 
 
 def _nearest_up(x):
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+    return nearest_upsample_2x(x)
 
 
 def _avg_down(x):
@@ -58,27 +59,35 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = group_norm(x, "norm1")
-        h = jax.nn.silu(h)
+        import math as _math
+
+        h = GroupNormSiLU(
+            num_groups=_math.gcd(32, x.shape[-1]), out_dtype=self.dtype,
+            name="norm1",
+        )(x)
         if self.up:
             h, x = _nearest_up(h), _nearest_up(x)
         elif self.down:
             h, x = _avg_down(h), _avg_down(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(h.astype(self.dtype))
+        )(h)
 
         emb_width = self.out_channels * (2 if self.use_scale_shift_norm else 1)
         emb_out = nn.Dense(emb_width, dtype=self.dtype, name="emb_proj")(
             jax.nn.silu(emb).astype(self.dtype)
         )
+        groups2 = _math.gcd(32, self.out_channels)
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = group_norm(h, "norm2").astype(self.dtype) * (1 + scale) + shift
-            h = jax.nn.silu(h)
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = ScaleShiftGroupNormSiLU(
+                num_groups=groups2, out_dtype=self.dtype, name="norm2"
+            )(h, scale, shift)
         else:
             h = h + emb_out[:, None, None, :]
-            h = jax.nn.silu(group_norm(h, "norm2")).astype(self.dtype)
+            h = GroupNormSiLU(
+                num_groups=groups2, out_dtype=self.dtype, name="norm2"
+            )(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
         )(h)
@@ -250,9 +259,13 @@ class ADMUNet(nn.Module):
                     ds //= 2
                 index += 1
 
-        x = group_norm(x, "out_norm")
-        x = jax.nn.silu(x)
+        import math as _math
+
+        x = GroupNormSiLU(
+            num_groups=_math.gcd(32, x.shape[-1]), out_dtype=self.dtype,
+            name="out_norm",
+        )(x)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
-        )(x.astype(self.dtype))
+        )(x)
         return x.transpose(0, 3, 1, 2).astype(jnp.float32)

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.velocity_diffusion.net import FourierFeatures
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.groupnorm import fused_group_norm_act
 from perceptor_tpu.ops.upfirdn import fir_downsample_2x, fir_upsample_2x
 
 
@@ -43,22 +44,22 @@ MODEL_CONFIGS = {"all": MonsterConfig(), "tiny-hero": MonsterConfig(), "tiny": T
 
 
 class AdaGN(nn.Module):
-    """GroupNorm modulated by cond: gn(x)*(w+1)+b (base/layers.py:93-108)."""
+    """GroupNorm modulated by cond: act(gn(x)*(w+1)+b) (base/layers.py:93-108),
+    as one fused custom-VJP op (ops/groupnorm.py); callers fold their
+    following activation in via `activation`."""
 
     num_groups: int
     dtype: jnp.dtype = jnp.float32
+    activation: str = "none"
 
     @nn.compact
     def __call__(self, x, cond):
         weight_bias = nn.Dense(x.shape[-1] * 2, dtype=self.dtype, name="mapper")(cond)
         weight, bias = jnp.split(weight_bias, 2, axis=-1)
-        x = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=1e-5, use_bias=False,
-            use_scale=False, dtype=jnp.float32, name="gn",
-        )(x)
-        return x.astype(self.dtype) * (
-            weight[:, None, None, :] + 1
-        ) + bias[:, None, None, :]
+        return fused_group_norm_act(
+            x, weight + 1.0, bias, self.num_groups, 1e-5, self.dtype,
+            self.activation,
+        )
 
 
 class ResConvBlock(nn.Module):
@@ -72,13 +73,15 @@ class ResConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, cond):
         c_in = x.shape[-1]
-        h = AdaGN(max(1, c_in // self.group_size), self.dtype, name="norm1")(x, cond)
-        h = jax.nn.gelu(h, approximate=False)
+        h = AdaGN(
+            max(1, c_in // self.group_size), self.dtype, activation="gelu",
+            name="norm1",
+        )(x, cond)
         h = nn.Conv(self.c_mid, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         h = AdaGN(
-            max(1, self.c_mid // self.group_size), self.dtype, name="norm2"
+            max(1, self.c_mid // self.group_size), self.dtype,
+            activation="gelu", name="norm2",
         )(h, cond)
-        h = jax.nn.gelu(h, approximate=False)
         h = nn.Conv(self.c_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_in != self.c_out:
             x = nn.Conv(

@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.stable_diffusion.config import UNetConfig
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
@@ -77,16 +78,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         h = GroupNormSiLU(out_dtype=self.dtype, name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1"
         )(h)
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             jax.nn.silu(emb).astype(self.dtype)
         )
         h = h + emb_out[:, None, None, :]
         h = GroupNormSiLU(out_dtype=self.dtype, name="norm2")(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2"
         )(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -204,7 +203,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nearest_upsample_2x(x)
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
 
 
 class UNet(nn.Module):
@@ -253,7 +252,7 @@ class UNet(nn.Module):
         x = latents.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
         context = context.astype(self.dtype)
 
-        x = nn.Conv(channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = Conv3x3(channels[0], dtype=self.dtype, name="conv_in")(x)
         skips = [x]
         n_levels = len(channels)
 
@@ -334,8 +333,7 @@ class UNet(nn.Module):
             x = up_level(n_levels - 1, x)
 
         x = GroupNormSiLU(out_dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.Conv(
-            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        x = Conv3x3(cfg.out_channels, dtype=self.dtype, name="conv_out"
         )(x)
         out = x.transpose(0, 3, 1, 2).astype(jnp.float32)  # NHWC -> NCHW
         if return_cache:

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.stable_diffusion.config import VAEConfig
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
@@ -39,11 +40,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(
             h
         )
         h = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(
             h
         )
         if x.shape[-1] != self.out_channels:
@@ -94,7 +95,7 @@ class Encoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         channels = cfg.block_channels
-        x = nn.Conv(channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = Conv3x3(channels[0], dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(channels):
             for j in range(cfg.n_res_blocks):
                 x = ResnetBlock(
@@ -116,8 +117,7 @@ class Encoder(nn.Module):
         )(x)
         x = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="conv_norm_out")(x)
         out_ch = (2 if cfg.double_z else 1) * cfg.latent_channels
-        return nn.Conv(
-            out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        return Conv3x3(out_ch, dtype=self.dtype, name="conv_out"
         )(x.astype(self.dtype))
 
 
@@ -129,7 +129,7 @@ class Decoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         channels = cfg.block_channels
-        x = nn.Conv(channels[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = Conv3x3(channels[-1], dtype=self.dtype, name="conv_in")(x)
         x = MidBlock(
             channels[-1], dtype=self.dtype, use_attention=cfg.mid_attention,
             name="mid_block",
@@ -145,13 +145,11 @@ class Decoder(nn.Module):
                     )(x)
             if i < len(channels) - 1:
                 x = nearest_upsample_2x(x)
-                x = nn.Conv(
-                    ch, (3, 3), padding=1, dtype=self.dtype,
+                x = Conv3x3(ch, dtype=self.dtype,
                     name=f"up_blocks_{i}_upsamplers_0_conv",
                 )(x)
         x = GroupNormSiLU(epsilon=1e-6, out_dtype=self.dtype, name="conv_norm_out")(x)
-        return nn.Conv(
-            cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        return Conv3x3(cfg.in_channels, dtype=self.dtype, name="conv_out"
         )(x.astype(self.dtype))
 
 

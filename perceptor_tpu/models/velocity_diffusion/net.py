@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.velocity_diffusion.configs import VNetConfig
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.groupnorm import fused_group_norm_act
 
 
 class FourierFeatures(nn.Module):
@@ -76,24 +77,24 @@ class ModConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond):
-        def modulate(h, name):
-            h = nn.GroupNorm(
-                num_groups=1, use_bias=False, use_scale=False, epsilon=1e-5,
-                dtype=jnp.float32, name=f"{name}_norm",
-            )(h)
+        def modulate_relu(h, name):
+            # fused GN(1, no affine) + per-sample affine + ReLU (one
+            # custom-VJP op, ops/groupnorm.py); the reference's AdaGN2d
+            # (cc12m_1.py:33-46) has no learned GN affine, so the (N, C)
+            # emb-derived pair is the whole affine
             scale_shift = nn.Dense(
                 h.shape[-1] * 2, use_bias=False, dtype=self.dtype, name=f"{name}_mod"
             )(cond)
             scales, shifts = jnp.split(scale_shift, 2, axis=-1)
-            return h.astype(self.dtype) * (
-                scales[:, None, None, :] + 1
-            ) + shifts[:, None, None, :]
+            return fused_group_norm_act(
+                h, scales + 1.0, shifts, 1, 1e-5, self.dtype, "relu"
+            )
 
         h = nn.Conv(self.c_mid, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
-        h = jax.nn.relu(modulate(h, "mod1"))
+        h = modulate_relu(h, "mod1")
         h = nn.Conv(self.c_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if not self.is_last:
-            h = jax.nn.relu(modulate(h, "mod2"))
+            h = modulate_relu(h, "mod2")
         if x.shape[-1] != self.c_out:
             x = nn.Conv(
                 self.c_out, (1, 1), use_bias=False, dtype=self.dtype, name="skip"
@@ -156,7 +157,10 @@ def _avg_pool(x):
 def _upsample(x, method):
     n, h, w, c = x.shape
     if method == "nearest":
-        return jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        # broadcast+reshape: VJP is a phase-sum reduce, not a scatter-add
+        from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
+
+        return nearest_upsample_2x(x)
     # bilinear, align_corners=False == jax.image 'linear' (half-pixel centers)
     return jax.image.resize(x, (n, h * 2, w * 2, c), method="linear")
 

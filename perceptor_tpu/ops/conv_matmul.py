@@ -1,0 +1,99 @@
+"""3x3 conv as an explicit im2col matmul, for shapes XLA won't strip-mine.
+
+Profiled on the 512px VAE decode (docs/PERFORMANCE.md): XLA's TPU conv
+emitter space-to-batch-rewrites large-spatial convs into strips that run
+at ~193 TFLOP/s (98% of v5e bf16 peak), but batch-1 convs at 64x64 and
+128x128 spatial with C>=512 are NOT rewritten and run at 23-25 TFLOP/s
+with a pathological {3,0,2,1:T(2,128)} layout. Expressing those convs as
+pad -> 9 shifted slices concat (im2col) -> ONE (N*H*W, 9*C) x (9*C, Cout)
+matmul lets the MXU tile them like any other GEMM. The extra patch
+materialization (~9x the input bytes) costs ~0.1 ms at HBM speed versus
+the ~2.5 ms saved on the worst op.
+
+The reference hits the same problem class with cuDNN algorithm selection;
+here the fix is an explicit lowering choice, applied by `Conv3x3`'s
+shape policy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def conv3x3_as_matmul(
+    x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None
+) -> jax.Array:
+    """SAME-padded 3x3 conv, NHWC x (3, 3, Cin, Cout), via one matmul.
+
+    Exactly nn.Conv(padding=1) including dtype behavior (accumulate per
+    the inputs' dtypes; XLA matmul accumulates bf16 inputs in fp32).
+    """
+    n, h, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    if (kh, kw) != (3, 3) or cin != c:
+        raise ValueError(f"kernel {kernel.shape} does not fit input {x.shape}")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # ky-major, kx, then channel — matches kernel.reshape(9 * cin, cout)
+    patches = jnp.concatenate(
+        [
+            xp[:, ky : ky + h, kx : kx + w, :]
+            for ky in range(3)
+            for kx in range(3)
+        ],
+        axis=-1,
+    )
+    out = jax.lax.dot_general(
+        patches.reshape(n * h * w, 9 * c),
+        kernel.reshape(9 * cin, cout),
+        (((1,), (0,)), ((), ())),
+    )
+    out = out.reshape(n, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class Conv3x3(nn.Module):
+    """Drop-in for nn.Conv(features, (3, 3), padding=1): same param
+    names/shapes (kernel HWIO, bias), but lowered as an im2col matmul when
+    the shape falls in XLA's slow-conv regime (see module docstring).
+
+    `as_matmul=None` applies the measured policy: batch*H*W <= 16384
+    (<= 128x128 at batch 1) and Cin >= 256. True/False force the path.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    as_matmul: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, c, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        use_matmul = self.as_matmul
+        if use_matmul is None:
+            use_matmul = n * h * w <= 16384 and c >= 256
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if use_matmul:
+            return conv3x3_as_matmul(x, kernel, bias)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias

@@ -116,52 +116,105 @@ def _gn_normalize(x, mean, rstd, num_groups: int):
     return (x.astype(jnp.float32) - mean_c) * rstd_c
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5,
-                          out_dtype=None):
-    """silu(group_norm(x) * scale + bias) over NHWC, fused fwd/bwd.
+def _affine_bc(v):
+    """(C,) or (N, C) affine -> broadcastable (1|N, 1, 1, C) fp32."""
+    v = v.astype(jnp.float32)
+    if v.ndim == 1:
+        return v[None, None, None, :]
+    return v[:, None, None, :]
 
-    Numerically identical to `group_norm` (fp32 stats) followed by fp32
-    SiLU, cast to `out_dtype` (default: x.dtype).
+
+_SQRT_2PI = 2.5066282746310002
+
+
+def _apply_act(h, activation: str):
+    if activation == "silu":
+        return h * jax.nn.sigmoid(h)
+    if activation == "relu":
+        return jnp.maximum(h, 0.0)
+    if activation == "gelu":
+        return jax.nn.gelu(h, approximate=False)
+    if activation == "none":
+        return h
+    raise ValueError(f"unsupported activation {activation!r}")
+
+
+def _act_grad(h, activation: str):
+    if activation == "silu":
+        s = jax.nn.sigmoid(h)
+        return s * (1.0 + h * (1.0 - s))
+    if activation == "relu":
+        return (h > 0.0).astype(h.dtype)
+    if activation == "gelu":
+        # d/dh [h * Phi(h)] = Phi(h) + h * phi(h)
+        return jax.scipy.stats.norm.cdf(h) + h * jnp.exp(-0.5 * h * h) / _SQRT_2PI
+    if activation == "none":
+        return jnp.ones_like(h)
+    raise ValueError(f"unsupported activation {activation!r}")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_group_norm_act(x, scale, bias, num_groups=32, eps=1e-5,
+                         out_dtype=None, activation="silu"):
+    """act(group_norm(x) * scale + bias) over NHWC, fused fwd/bwd.
+
+    `scale`/`bias` may be per-channel (C,) or per-sample (N, C) — the
+    latter covers scale-shift conditioning (ADM, AdaGN, velocity's
+    modulate: fold the GN affine and the emb-derived affine into one
+    (N, C) pair outside; AD chains through the fold). `activation` is one
+    of "silu" | "relu" | "gelu" (exact) | "none". Numerically identical
+    to `group_norm` (fp32 stats) + fp32 activation, cast to `out_dtype`
+    (default: x.dtype).
     """
     mean, rstd = _gn_stats(x, num_groups, eps)
     xhat = _gn_normalize(x, mean, rstd, num_groups)
-    h = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    y = h * jax.nn.sigmoid(h)
-    return y.astype(out_dtype or x.dtype)
+    h = xhat * _affine_bc(scale) + _affine_bc(bias)
+    return _apply_act(h, activation).astype(out_dtype or x.dtype)
 
 
-def _fused_gn_silu_fwd(x, scale, bias, num_groups, eps, out_dtype):
+def fused_group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5,
+                          out_dtype=None):
+    """silu(group_norm(x) * scale + bias) — see fused_group_norm_act."""
+    return fused_group_norm_act(x, scale, bias, num_groups, eps, out_dtype,
+                                "silu")
+
+
+def _fused_gn_act_fwd(x, scale, bias, num_groups, eps, out_dtype, activation):
     mean, rstd = _gn_stats(x, num_groups, eps)
     xhat = _gn_normalize(x, mean, rstd, num_groups)
-    h = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    y = h * jax.nn.sigmoid(h)
+    h = xhat * _affine_bc(scale) + _affine_bc(bias)
+    y = _apply_act(h, activation)
     return y.astype(out_dtype or x.dtype), (x, scale, bias, mean, rstd)
 
 
-def _fused_gn_silu_bwd(num_groups, eps, out_dtype, residuals, dy):
+def _fused_gn_act_bwd(num_groups, eps, out_dtype, activation, residuals, dy):
     x, scale, bias, mean, rstd = residuals
     n, hh, ww, c = x.shape
     per = c // num_groups
     m = hh * ww * per
 
     xhat = _gn_normalize(x, mean, rstd, num_groups)
-    h = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    s = jax.nn.sigmoid(h)
-    dh = dy.astype(jnp.float32) * (s * (1.0 + h * (1.0 - s)))
-    dxhat = dh * scale.astype(jnp.float32)
+    h = xhat * _affine_bc(scale) + _affine_bc(bias)
+    dh = dy.astype(jnp.float32) * _act_grad(h, activation)
+    dxhat = dh * _affine_bc(scale)
 
-    # ALL big reductions are per-channel over (N, H, W) / (H, W): C stays
-    # on the lane dim, no relayout (see _gn_stats). XLA fuses these with
-    # the elementwise chain above into one pass over (x, dy).
+    # ALL big reductions are per-channel over (H, W) [+ N for 1-D affine]:
+    # C stays on the lane dim, no relayout (see _gn_stats). XLA fuses them
+    # with the elementwise chain above into one pass over (x, dy).
     dh_nc = dh.sum(axis=(1, 2))                        # (N, C)
     dhx_nc = (dh * xhat).sum(axis=(1, 2))              # (N, C)
-    dscale = jnp.sum(dhx_nc, axis=0).astype(scale.dtype)
-    dbias = jnp.sum(dh_nc, axis=0).astype(bias.dtype)
+    if scale.ndim == 1:
+        dscale = jnp.sum(dhx_nc, axis=0).astype(scale.dtype)
+        dbias = jnp.sum(dh_nc, axis=0).astype(bias.dtype)
+    else:
+        dscale = dhx_nc.astype(scale.dtype)
+        dbias = dh_nc.astype(bias.dtype)
 
     # per-(N, G) means for the normalization backward, finished on the
-    # tiny (N, C) partials (dxhat = dh * scale channel-wise)
-    scale_f = scale.astype(jnp.float32)[None]          # (1, C)
+    # tiny (N, C) partials (dxhat = dh * scale channel-wise, so the
+    # spatial sum of dxhat is dh_nc * scale whether scale is (C,) or (N, C))
+    scale_f = scale.astype(jnp.float32)
+    scale_f = scale_f[None] if scale_f.ndim == 1 else scale_f
     a = _group_sum(dh_nc * scale_f, num_groups) / m    # (N, G)
     b = _group_sum(dhx_nc * scale_f, num_groups) / m   # (N, G)
     a_c = jnp.repeat(a, per, axis=1).reshape(n, 1, 1, c)
@@ -172,7 +225,7 @@ def _fused_gn_silu_bwd(num_groups, eps, out_dtype, residuals, dy):
     return dx, dscale, dbias
 
 
-fused_group_norm_silu.defvjp(_fused_gn_silu_fwd, _fused_gn_silu_bwd)
+fused_group_norm_act.defvjp(_fused_gn_act_fwd, _fused_gn_act_bwd)
 
 
 class GroupNormSiLU(nn.Module):
@@ -194,4 +247,31 @@ class GroupNormSiLU(nn.Module):
         return fused_group_norm_silu(
             x, scale, bias, min(self.num_groups, c), self.epsilon,
             self.out_dtype,
+        )
+
+
+class ScaleShiftGroupNormSiLU(nn.Module):
+    """silu(group_norm(x) * (1 + scale) + shift) with scale/shift (N, C)
+    from a conditioning embedding — ADM's use_scale_shift_norm (reference
+    guided_diffusion unet.py:222-229), one fused custom-VJP op.
+
+    The GN affine and the emb-derived affine fold into one (N, C) pair;
+    param names (scale, bias) match nn.GroupNorm so converters are
+    unaffected.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    out_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, scale_nc, shift_nc):
+        c = x.shape[-1]
+        g_s = self.param("scale", lambda k, s: jnp.ones(s, jnp.float32), (c,))
+        g_b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (c,))
+        one_plus = 1.0 + scale_nc.astype(jnp.float32)
+        a = g_s[None] * one_plus
+        b = g_b[None] * one_plus + shift_nc.astype(jnp.float32)
+        return fused_group_norm_silu(
+            x, a, b, min(self.num_groups, c), self.epsilon, self.out_dtype
         )

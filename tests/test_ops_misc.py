@@ -100,6 +100,79 @@ def test_fused_group_norm_silu_matches_composite(groups, shape):
         )
 
 
+@pytest.mark.parametrize("activation", ["relu", "gelu", "none"])
+def test_fused_group_norm_act_variants(activation):
+    from perceptor_tpu.ops.groupnorm import fused_group_norm_act, group_norm
+
+    groups, shape = 4, (2, 6, 5, 16)
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (16,)) + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (16,))
+    acts = {
+        "relu": jax.nn.relu,
+        "gelu": lambda h: jax.nn.gelu(h, approximate=False),
+        "none": lambda h: h,
+    }
+
+    def composite(x, s, b):
+        return acts[activation](group_norm(x, groups, s, b, 1e-5))
+
+    expected = composite(x, scale, bias)
+    actual = fused_group_norm_act(x, scale, bias, groups, 1e-5, None,
+                                  activation)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               atol=1e-5)
+
+    def loss(f):
+        return lambda x, s, b: jnp.sum(jnp.sin(f(x, s, b)))
+
+    eg = jax.grad(loss(composite), argnums=(0, 1, 2))(x, scale, bias)
+    ag = jax.grad(
+        loss(lambda x, s, b: fused_group_norm_act(x, s, b, groups, 1e-5,
+                                                  None, activation)),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for e, a in zip(eg, ag):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=2e-5, rtol=1e-5
+        )
+
+
+def test_fused_group_norm_silu_per_sample_affine():
+    """(N, C) scale/bias — the ADM scale-shift conditioning fold."""
+    from perceptor_tpu.ops.groupnorm import (
+        fused_group_norm_silu, group_norm,
+    )
+
+    groups, shape = 4, (3, 6, 5, 16)
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (3, 16)) + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (3, 16))
+
+    def composite(x, scale, bias):
+        h = group_norm(x, groups, None, None, 1e-5)
+        h = h * scale[:, None, None, :] + bias[:, None, None, :]
+        return h * jax.nn.sigmoid(h)
+
+    expected = composite(x, scale, bias)
+    actual = fused_group_norm_silu(x, scale, bias, groups, 1e-5)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
+                               atol=1e-5)
+
+    def loss(f):
+        return lambda x, s, b: jnp.sum(jnp.sin(f(x, s, b)))
+
+    eg = jax.grad(loss(composite), argnums=(0, 1, 2))(x, scale, bias)
+    ag = jax.grad(
+        loss(lambda x, s, b: fused_group_norm_silu(x, s, b, groups, 1e-5)),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for e, a in zip(eg, ag):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=2e-5, rtol=1e-5
+        )
+
+
 def test_fused_group_norm_silu_bf16_out():
     from perceptor_tpu.ops.groupnorm import fused_group_norm_silu
 
