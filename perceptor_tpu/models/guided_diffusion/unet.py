@@ -23,6 +23,7 @@ from perceptor_tpu.models.stable_diffusion.unet import (
     timestep_embedding,
 )
 from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU, ScaleShiftGroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
 
@@ -69,8 +70,7 @@ class ResBlock(nn.Module):
             h, x = _nearest_up(h), _nearest_up(x)
         elif self.down:
             h, x = _avg_down(h), _avg_down(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1"
         )(h)
 
         emb_width = self.out_channels * (2 if self.use_scale_shift_norm else 1)
@@ -88,8 +88,7 @@ class ResBlock(nn.Module):
             h = GroupNormSiLU(
                 num_groups=groups2, out_dtype=self.dtype, name="norm2"
             )(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2"
         )(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -165,7 +164,7 @@ class ADMUNet(nn.Module):
 
         x = xs.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
         ch = int(cfg.channel_mult[0] * cfg.model_channels)
-        x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="input_blocks_0_0")(x)
+        x = Conv3x3(ch, dtype=self.dtype, name="input_blocks_0_0")(x)
         skips = [x]
         ds = 1
         index = 1
@@ -249,10 +248,7 @@ class ADMUNet(nn.Module):
                         )(x, emb)
                     else:
                         x = _nearest_up(x)
-                        x = nn.Conv(
-                            out_ch,
-                            (3, 3),
-                            padding=1,
+                        x = Conv3x3(out_ch,
                             dtype=self.dtype,
                             name=f"output_blocks_{index}_{sub}_conv",
                         )(x)
@@ -265,7 +261,6 @@ class ADMUNet(nn.Module):
             num_groups=_math.gcd(32, x.shape[-1]), out_dtype=self.dtype,
             name="out_norm",
         )(x)
-        x = nn.Conv(
-            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
+        x = Conv3x3(cfg.out_channels, dtype=self.dtype, name="out_conv"
         )(x)
         return x.transpose(0, 3, 1, 2).astype(jnp.float32)
