@@ -186,6 +186,21 @@ def main():
         mesh_spec
     )
 
+    if "--prime" in sys.argv[1:]:
+        # AOT-compile the bench programs into the persistent cache and
+        # exit: first-use latency becomes a choice, not a surprise
+        # (docs/PERFORMANCE.md "Compile times").
+        n = 3 if QUICK else 30
+        t0 = time.time()
+        step.lower(unet_params, vae_params, clip_params, latents, context).compile()
+        scan.lower(
+            unet_params, vae_params, clip_params, latents, context, n
+        ).compile()
+        print(
+            json.dumps({"primed": True, "compile_s": round(time.time() - t0, 1)})
+        )
+        return
+
     # 30 steps: long enough that the fixed per-dispatch RPC overhead of the
     # remote-TPU tunnel (~46 ms, docs/PERFORMANCE.md "MFU") is <2% of the
     # measurement, i.e. the number reflects the device rate

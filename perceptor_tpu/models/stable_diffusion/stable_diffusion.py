@@ -454,6 +454,7 @@ class StableDiffusion:
         cache_interval: int = 1,
         mesh=None,
         rules=None,
+        prime: bool = False,
     ) -> jax.Array:
         """Text -> images as ONE compiled program (lax.scan over the
         schedule). Functional replacement for the reference's host-side
@@ -518,18 +519,22 @@ class StableDiffusion:
             params = parallel.shard_params(
                 params, mesh, **({} if rules is None else {"rules": rules})
             )
-        latents = self._sample_scan(
+        out = self._sample_scan(
             params, latents, pairs, uncond, cond, guidance_scale, eta,
             scan_key, n_resample=n_resample, init_latents=init_latents,
             replace_diffused=replace_diffused, cache_interval=cache_interval,
-            mesh=mesh,
+            mesh=mesh, prime=prime,
         )
-        return self.decode_fn(params, latents)
+        if prime:
+            # compile (and warm) the decode program for this latent shape
+            self.decode_fn(params, latents)
+            return None
+        return self.decode_fn(params, out)
 
     def _sample_scan(
         self, params, latents, pairs, uncond, cond, guidance_scale, eta, key,
         n_resample: int = 0, init_latents=None, replace_diffused: bool = False,
-        cache_interval: int = 1, mesh=None,
+        cache_interval: int = 1, mesh=None, prime: bool = False,
     ):
         import functools
 
@@ -585,12 +590,16 @@ class StableDiffusion:
                 latents, init_latents = repl(latents), repl(init_latents)
             pairs, cond2, key = repl(pairs), repl(cond2), repl(key)
 
+        run_args = (
+            params, latents, pairs, cond2, init_latents, key,
+            jnp.float32(guidance_scale), jnp.float32(eta),
+            int(n_resample), do_replace, int(cache_interval), stochastic,
+        )
         if cached_run is not None:
-            return cached_run(
-                params, latents, pairs, cond2, init_latents, key,
-                jnp.float32(guidance_scale), jnp.float32(eta),
-                int(n_resample), do_replace, int(cache_interval), stochastic,
-            )
+            if prime:
+                cached_run.lower(*run_args).compile()
+                return None
+            return cached_run(*run_args)
 
         @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
         def run(params, latents, pairs, cond2, init_latents, key,
@@ -696,11 +705,20 @@ class StableDiffusion:
             return latents
 
         self._sample_runs[run_key] = run
-        return run(
-            params, latents, pairs, cond2, init_latents, key,
-            jnp.float32(guidance_scale), jnp.float32(eta),
-            int(n_resample), do_replace, int(cache_interval), stochastic,
-        )
+        if prime:
+            # AOT: trace + compile (persisting into the jax compilation
+            # cache) without executing — first-use latency is a choice
+            run.lower(*run_args).compile()
+            return None
+        return run(*run_args)
+
+    def prime(self, sizes=((512, 512),), n_steps: int = 50, **kwargs) -> None:
+        """AOT-compile `sample()` for the given image sizes/options so the
+        first real call is compile-free (see docs/PERFORMANCE.md "Compile
+        times"). kwargs are forwarded to sample() and must match the
+        static options of the later calls (eta/n_resample/cache_interval)."""
+        for size in sizes:
+            self.sample([""], n_steps=n_steps, size=size, prime=True, **kwargs)
 
     def sample_iter(
         self,

@@ -406,3 +406,19 @@ def test_sd_sample_mesh_matches_unsharded(tiny_sd):
     one = tiny_sd.sample(["a photo"], mesh=mesh, **kwargs)
     assert one.shape == (1, 3, 16, 16)
     assert bool(jnp.all(jnp.isfinite(one)))
+
+
+def test_sample_prime_aot():
+    """prime=True compiles without executing; the next sample() reuses the
+    memoized program."""
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+    from perceptor_tpu.models.stable_diffusion import StableDiffusion
+
+    model = StableDiffusion(
+        name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[])
+    )
+    assert model.prime(sizes=((64, 64),), n_steps=2) is None
+    assert len(model._sample_runs) == 1
+    out = model.sample(["a prompt"], n_steps=2, size=(64, 64))
+    assert out.shape == (1, 3, 64, 64)
+    assert len(model._sample_runs) == 1  # same program reused
