@@ -57,6 +57,48 @@ def conv3x3_as_matmul(
     return out
 
 
+# which matmul lowering Conv3x3 uses when its shape policy fires:
+# "im2col" (9-shift concat, one big matmul) or "shifts" (9 dots, no
+# patch buffer). Module-level so A/B scripts can flip it globally.
+MATMUL_LOWERING = "shifts"
+
+
+def conv3x3_as_shifts(
+    x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None
+) -> jax.Array:
+    """SAME-padded 3x3 conv as a sum of 9 shifted dot_generals.
+
+    Same MXU-matmul lowering idea as `conv3x3_as_matmul`, but without
+    materializing the 9x im2col patch buffer: each tap contracts a
+    shifted NHWC window of the padded input directly against its
+    (Cin, Cout) kernel slice, and the 9 partial products accumulate in
+    f32 (matching the single-matmul accumulation numerics to bf16
+    rounding). Measured faster than im2col at every policy shape
+    (scripts/ab_conv3x3.py) because the concat write+reread of 9x the
+    input bytes disappears.
+    """
+    n, h, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    if (kh, kw) != (3, 3) or cin != c:
+        raise ValueError(f"kernel {kernel.shape} does not fit input {x.shape}")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for ky in range(3):
+        for kx in range(3):
+            xs = jax.lax.slice(xp, (0, ky, kx, 0), (n, ky + h, kx + w, c))
+            contrib = jax.lax.dot_general(
+                xs,
+                kernel[ky, kx],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = contrib if out is None else out + contrib
+    out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class Conv3x3(nn.Module):
     """Drop-in for nn.Conv(features, (3, 3), padding=1): same param
     names/shapes (kernel HWIO, bias), but lowered as an im2col matmul when
@@ -89,7 +131,12 @@ class Conv3x3(nn.Module):
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         if use_matmul:
-            return conv3x3_as_matmul(x, kernel, bias)
+            lower = (
+                conv3x3_as_shifts
+                if MATMUL_LOWERING == "shifts"
+                else conv3x3_as_matmul
+            )
+            return lower(x, kernel, bias)
         return jax.lax.conv_general_dilated(
             x,
             kernel,

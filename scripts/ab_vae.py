@@ -24,6 +24,9 @@ if variant == "jaximg":
     # vae imported after the patch picks up the module-level from-import
     import perceptor_tpu.models.stable_diffusion.vae as vae_mod
     vae_mod.nearest_upsample_2x = _jaximg
+if variant == "im2col":
+    import perceptor_tpu.ops.conv_matmul as cm
+    cm.MATMUL_LOWERING = "im2col"
 if variant == "compgn":
     import perceptor_tpu.ops.groupnorm as gn
     def _comp(x, scale, bias, num_groups=32, eps=1e-5, out_dtype=None):
