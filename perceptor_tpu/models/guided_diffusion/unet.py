@@ -97,6 +97,59 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _LegacyQKV(nn.Module):
+    """nn.Dense(3c)-param-compatible qkv projection emitting three
+    (n, heads, seq, d) arrays directly: the Legacy head-interleaved
+    channel layout (channels = [head0(q|k|v), head1(q|k|v), ...],
+    reference unet.py:355-380) plus the head split/transpose fold into
+    per-tensor einsums, so no token-minor intermediate is materialized
+    (see stable_diffusion/unet.py ATTN_PROJ note)."""
+
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        n, s, c = y.shape
+        d = c // self.n_heads
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (c, 3 * c),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (3 * c,), jnp.float32
+        )
+        kr = kernel.astype(self.dtype).reshape(c, self.n_heads, 3, d)
+        br = bias.astype(self.dtype).reshape(self.n_heads, 3, d)
+        return tuple(
+            jnp.einsum("nsc,chd->nhsd", y, kr[:, :, i])
+            + br[None, :, i, None, :]
+            for i in range(3)
+        )
+
+
+class _LegacyOut(nn.Module):
+    """nn.Dense(c)-param-compatible out-projection over the attention
+    kernel's (n, heads, seq, d) output (head merge + matmul as one
+    einsum)."""
+
+    channels: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        c = self.channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (c, c), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        kr = kernel.astype(self.dtype).reshape(self.n_heads, c // self.n_heads, c)
+        return jnp.einsum("nhsd,hdc->nsc", y, kr) + bias.astype(self.dtype)
+
+
 class AttentionBlock(nn.Module):
     """Reference unet.py:255-300 with the Legacy head-interleaved qkv layout
     (unet.py:355-380): channels = [head0(q|k|v), head1(q|k|v), ...]."""
@@ -107,17 +160,12 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        d = c // self.n_heads
         y = group_norm(x, "norm")
-        qkv = nn.Dense(c * 3, dtype=self.dtype, name="qkv")(
+        q, k, v = _LegacyQKV(self.n_heads, self.dtype, name="qkv")(
             y.reshape(n, h * w, c).astype(self.dtype)
         )
-        # legacy layout: (..., heads, 3, d)
-        qkv = qkv.reshape(n, h * w, self.n_heads, 3, d)
-        q, k, v = (qkv[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
         y = attention(q, k, v)
-        y = y.transpose(0, 2, 1, 3).reshape(n, h * w, c)
-        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        y = _LegacyOut(c, self.n_heads, self.dtype, name="proj_out")(y)
         return x + y.reshape(n, h, w, c)
 
 
