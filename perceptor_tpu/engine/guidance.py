@@ -181,7 +181,11 @@ def guided_sample(
 
     Compiled programs are memoized on the model instance per static
     configuration (losses, weights, flags) — repeated calls with different
-    guidance_scale/eta/latents do not retrace.
+    guidance_scale/eta/latents do not retrace. Memoization applies when
+    every loss exposes the pure `(apply, loss_params)` protocol (all
+    shipped losses do); mutable loss state (prompt bank, multiplier) rides
+    in the traced `loss_params`, so mutations between calls take effect
+    without a retrace. Plain-callable losses are rebuilt per call.
     """
     weights = tuple(loss_weights) if loss_weights is not None else (1.0,) * len(losses)
     _, _, loss_fns, loss_frozen = _gather_frozen(lambda p: p, losses)
@@ -195,7 +199,6 @@ def guided_sample(
     latents = initial_latents
     if mesh is not None:
         from perceptor_tpu import parallel
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard_kwargs = {} if rules is None else {"rules": rules}
         mparams = parallel.shard_params(mparams, mesh, **shard_kwargs)
@@ -208,25 +211,37 @@ def guided_sample(
         else:
             latents = parallel.replicate(latents, mesh)
         if conditioning is not None:
-            conditioning = jax.tree.map(
-                lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
-                conditioning,
-            )
+            conditioning = parallel.replicate(conditioning, mesh)
 
     stochastic = float(eta) > 0.0
-    run_key = (
-        tuple(id(loss) for loss in losses), weights, bool(correction),
-        int(n_resample), threshold, float(threshold_quantile), stochastic,
-        float(clamp_value),
-    )
-    runs = model.__dict__.setdefault("_guided_runs", {})
-    run = runs.get(run_key)
+    # Memoize the compiled run only when every loss goes through the pure
+    # (apply, loss_params) protocol: there all mutable state (tower params,
+    # prompt bank, multiplier) rides in the traced loss_params argument, so
+    # a cached executable can never see stale state. Plain-callable losses
+    # are closed over at trace time — for those, rebuild per call (the
+    # pre-memoization behavior). The memo holds strong references to the
+    # loss objects, so the id()s in the key cannot be recycled by GC.
+    memoizable = all(fn is not None for fn in loss_fns)
+    run = None
+    if memoizable:
+        run_key = (
+            tuple(id(loss) for loss in losses), weights, bool(correction),
+            int(n_resample), threshold, float(threshold_quantile), stochastic,
+            float(clamp_value),
+        )
+        runs = model.__dict__.setdefault("_guided_runs", {})
+        entry = runs.get(run_key)
+        if entry is not None and all(
+            a is b for a, b in zip(entry[1], losses)
+        ):
+            run = entry[0]
     if run is None:
         run = _build_guided_run(
             model, losses, loss_fns, weights, correction, n_resample,
             threshold, threshold_quantile, stochastic, clamp_value,
         )
-        runs[run_key] = run
+        if memoizable:
+            runs[run_key] = (run, tuple(losses))
     return run(
         mparams, latents, pairs, loss_frozen, conditioning, key,
         jnp.float32(guidance_scale), jnp.float32(eta),

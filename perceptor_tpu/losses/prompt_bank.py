@@ -91,11 +91,17 @@ class PromptBankLoss(LossInterface):
 
     @property
     def loss_params(self):
-        """Pytree of everything `apply` reads: tower weights + the bank."""
+        """Pytree of everything `apply` reads: tower weights + the bank.
+
+        The multiplier rides here (as a traced scalar) rather than being
+        read off `self` at trace time, so `mul_()` between calls takes
+        effect even when the caller memoizes the compiled program
+        (engine.guided_sample does)."""
         return {
             "model": getattr(self.model, "params", None),
             "encodings": self.encodings,
             "weights": self.bank_weights,
+            "multiplier": jnp.float32(self.multiplier),
         }
 
     def apply(self, loss_params, images) -> jax.Array:
@@ -109,4 +115,4 @@ class PromptBankLoss(LossInterface):
         distances = spherical_distance_squared(
             image_encodings, loss_params["encodings"]
         )
-        return jnp.mean(distances * loss_params["weights"]) * self.multiplier
+        return jnp.mean(distances * loss_params["weights"]) * loss_params["multiplier"]

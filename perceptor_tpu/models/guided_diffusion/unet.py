@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.guided_diffusion.config import ADMConfig
 from perceptor_tpu.models.stable_diffusion.unet import (
     SpatialTransformer,
@@ -97,59 +98,6 @@ class ResBlock(nn.Module):
         return x + h
 
 
-class _LegacyQKV(nn.Module):
-    """nn.Dense(3c)-param-compatible qkv projection emitting three
-    (n, heads, seq, d) arrays directly: the Legacy head-interleaved
-    channel layout (channels = [head0(q|k|v), head1(q|k|v), ...],
-    reference unet.py:355-380) plus the head split/transpose fold into
-    per-tensor einsums, so no token-minor intermediate is materialized
-    (see stable_diffusion/unet.py ATTN_PROJ note)."""
-
-    n_heads: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, y):
-        n, s, c = y.shape
-        d = c // self.n_heads
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (c, 3 * c),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (3 * c,), jnp.float32
-        )
-        kr = kernel.astype(self.dtype).reshape(c, self.n_heads, 3, d)
-        br = bias.astype(self.dtype).reshape(self.n_heads, 3, d)
-        return tuple(
-            jnp.einsum("nsc,chd->nhsd", y, kr[:, :, i])
-            + br[None, :, i, None, :]
-            for i in range(3)
-        )
-
-
-class _LegacyOut(nn.Module):
-    """nn.Dense(c)-param-compatible out-projection over the attention
-    kernel's (n, heads, seq, d) output (head merge + matmul as one
-    einsum)."""
-
-    channels: int
-    n_heads: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, y):
-        c = self.channels
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (c, c), jnp.float32
-        )
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        kr = kernel.astype(self.dtype).reshape(self.n_heads, c // self.n_heads, c)
-        return jnp.einsum("nhsd,hdc->nsc", y, kr) + bias.astype(self.dtype)
-
-
 class AttentionBlock(nn.Module):
     """Reference unet.py:255-300 with the Legacy head-interleaved qkv layout
     (unet.py:355-380): channels = [head0(q|k|v), head1(q|k|v), ...]."""
@@ -160,12 +108,18 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
+        d = c // self.n_heads
         y = group_norm(x, "norm")
-        q, k, v = _LegacyQKV(self.n_heads, self.dtype, name="qkv")(
-            y.reshape(n, h * w, c).astype(self.dtype)
-        )
+        # Legacy head-interleaved qkv channel layout (reference
+        # unet.py:355-380): channels = [head0(q|k|v), head1(q|k|v), ...]
+        q, k, v = HeadProj(
+            self.n_heads, d, n_proj=3, interleave="head", dtype=self.dtype,
+            name="qkv",
+        )(y.reshape(n, h * w, c).astype(self.dtype))
         y = attention(q, k, v)
-        y = _LegacyOut(c, self.n_heads, self.dtype, name="proj_out")(y)
+        y = HeadMergeProj(
+            c, self.n_heads, d, dtype=self.dtype, name="proj_out"
+        )(y)
         return x + y.reshape(n, h, w, c)
 
 

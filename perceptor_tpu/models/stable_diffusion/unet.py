@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.stable_diffusion.config import UNetConfig
 from perceptor_tpu.ops.attention import attention
 from perceptor_tpu.ops.conv_matmul import Conv3x3
@@ -102,56 +103,6 @@ class ResnetBlock(nn.Module):
 ATTN_PROJ = "einsum"
 
 
-class _HeadProj(nn.Module):
-    """nn.Dense(inner, use_bias=False)-param-compatible projection that
-    emits (b, heads, seq, dim_head) directly: the head split + transpose
-    fold into the projection einsum, so no token-minor intermediate is
-    materialized (same trick as models/patch_embed.py)."""
-
-    heads: int
-    dim_head: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (c, self.heads * self.dim_head),
-            jnp.float32,
-        )
-        k = kernel.astype(self.dtype).reshape(c, self.heads, self.dim_head)
-        return jnp.einsum("bsc,chd->bhsd", x, k)
-
-
-class _OutProj(nn.Module):
-    """nn.Dense(inner)-param-compatible out-projection taking the
-    attention kernel's (b, heads, seq, dim_head) output: head merge +
-    matmul as one einsum."""
-
-    inner: int
-    heads: int
-    dim_head: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, out):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.inner, self.inner),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.inner,), jnp.float32
-        )
-        k = kernel.astype(self.dtype).reshape(
-            self.heads, self.dim_head, self.inner
-        )
-        return jnp.einsum("bhsd,hdi->bsi", out, k) + bias.astype(self.dtype)
-
-
 class CrossAttention(nn.Module):
     """Multi-head attention, q from x, k/v from context (self-attn when
     context is None). Spec: reference stable_diffusion/attention.py:250-299;
@@ -169,12 +120,19 @@ class CrossAttention(nn.Module):
         sk = context.shape[1]
 
         if ATTN_PROJ == "einsum":
-            q = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_q")(x)
-            k = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_k")(context)
-            v = _HeadProj(self.heads, self.dim_head, self.dtype, name="to_v")(context)
+            def head_proj(name):
+                return HeadProj(
+                    self.heads, self.dim_head, use_bias=False,
+                    dtype=self.dtype, name=name,
+                )
+
+            q = head_proj("to_q")(x)
+            k = head_proj("to_k")(context)
+            v = head_proj("to_v")(context)
             out = attention(q, k, v)
-            return _OutProj(
-                inner, self.heads, self.dim_head, self.dtype, name="to_out_0"
+            return HeadMergeProj(
+                inner, self.heads, self.dim_head, dtype=self.dtype,
+                name="to_out_0",
             )(out)
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.velocity_diffusion.configs import VNetConfig
 from perceptor_tpu.ops.attention import attention
 from perceptor_tpu.ops.groupnorm import fused_group_norm_act
@@ -102,59 +103,6 @@ class ModConvBlock(nn.Module):
         return x + h
 
 
-class _QKV1x1(nn.Module):
-    """nn.Conv(3c, (1,1))-param-compatible qkv projection over flattened
-    (n, seq, c) tokens, emitting three (n, heads, seq, d) arrays: the
-    [q|k|v]-major channel layout plus the head split/transpose fold into
-    per-tensor einsums (see stable_diffusion/unet.py ATTN_PROJ note)."""
-
-    n_head: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, y):
-        n, s, c = y.shape
-        d = c // self.n_head
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, c, 3 * c),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (3 * c,), jnp.float32
-        )
-        kr = kernel.astype(self.dtype).reshape(c, 3, self.n_head, d)
-        br = bias.astype(self.dtype).reshape(3, self.n_head, d)
-        return tuple(
-            jnp.einsum("nsc,chd->nhsd", y, kr[:, i])
-            + br[i][None, :, None, :]
-            for i in range(3)
-        )
-
-
-class _Out1x1(nn.Module):
-    """nn.Conv(c, (1,1))-param-compatible out-projection over the
-    attention kernel's (n, heads, seq, d) output."""
-
-    channels: int
-    n_head: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, y):
-        c = self.channels
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, c, c),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        kr = kernel.astype(self.dtype).reshape(self.n_head, c // self.n_head, c)
-        return jnp.einsum("nhsd,hdc->nsc", y, kr) + bias.astype(self.dtype)
-
-
 class SelfAttention2d(nn.Module):
     """GN(1) -> 1x1 qkv -> MHA over HW tokens -> 1x1 out + residual
     (reference yfcc_2.py:52-70). NHWC."""
@@ -172,11 +120,16 @@ class SelfAttention2d(nn.Module):
             )(x)
         else:
             y = x  # wikiart_256.py:61-76 has no norm
-        q, k, v = _QKV1x1(self.n_head, self.dtype, name="qkv_proj")(
-            y.reshape(n, h * w, c).astype(self.dtype)
-        )
+        # [q|k|v]-major 1x1-conv channel layout (reference yfcc_2.py:52-70)
+        q, k, v = HeadProj(
+            self.n_head, c // self.n_head, n_proj=3, interleave="proj",
+            conv_kernel=True, dtype=self.dtype, name="qkv_proj",
+        )(y.reshape(n, h * w, c).astype(self.dtype))
         y = attention(q, k, v)
-        y = _Out1x1(c, self.n_head, self.dtype, name="out_proj")(y)
+        y = HeadMergeProj(
+            c, self.n_head, c // self.n_head, conv_kernel=True,
+            dtype=self.dtype, name="out_proj",
+        )(y)
         return x + y.reshape(n, h, w, c)
 
 

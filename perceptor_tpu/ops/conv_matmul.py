@@ -1,14 +1,19 @@
-"""3x3 conv as an explicit im2col matmul, for shapes XLA won't strip-mine.
+"""3x3 conv as explicit MXU matmuls, for shapes XLA won't strip-mine.
 
 Profiled on the 512px VAE decode (docs/PERFORMANCE.md): XLA's TPU conv
 emitter space-to-batch-rewrites large-spatial convs into strips that run
 at ~193 TFLOP/s (98% of v5e bf16 peak), but batch-1 convs at 64x64 and
 128x128 spatial with C>=512 are NOT rewritten and run at 23-25 TFLOP/s
-with a pathological {3,0,2,1:T(2,128)} layout. Expressing those convs as
-pad -> 9 shifted slices concat (im2col) -> ONE (N*H*W, 9*C) x (9*C, Cout)
-matmul lets the MXU tile them like any other GEMM. The extra patch
-materialization (~9x the input bytes) costs ~0.1 ms at HBM speed versus
-the ~2.5 ms saved on the worst op.
+with a pathological {3,0,2,1:T(2,128)} layout. Lowering those convs to
+matmuls lets the MXU tile them like any other GEMM. Two lowerings:
+
+- "shifts" (the default, `conv3x3_as_shifts`): 9 dot_generals over
+  shifted NHWC windows of the padded input, partials accumulated in
+  f32 — no patch buffer is ever materialized.
+- "im2col" (`conv3x3_as_matmul`): pad -> 9-shift concat -> ONE
+  (N*H*W, 9*C) x (9*C, Cout) matmul. Kept for A/B comparison; the 9x
+  patch-buffer write+reread made it measurably slower than "shifts" at
+  every policy shape (scripts/ab_conv3x3.py).
 
 The reference hits the same problem class with cuDNN algorithm selection;
 here the fix is an explicit lowering choice, applied by `Conv3x3`'s
@@ -101,7 +106,8 @@ def conv3x3_as_shifts(
 
 class Conv3x3(nn.Module):
     """Drop-in for nn.Conv(features, (3, 3), padding=1): same param
-    names/shapes (kernel HWIO, bias), but lowered as an im2col matmul when
+    names/shapes (kernel HWIO, bias), but lowered to MXU matmuls (the
+    module-level `MATMUL_LOWERING` variant — "shifts" by default) when
     the shape falls in XLA's slow-conv regime (see module docstring).
 
     `as_matmul=None` applies the measured policy: batch*H*W <= 16384

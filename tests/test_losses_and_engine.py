@@ -230,6 +230,62 @@ def test_guided_sample_memoizes_per_static_config(clip_loss):
     assert len(model._guided_runs) == 2  # new static structure
 
 
+def test_guided_sample_memo_honors_loss_mutation(clip_loss):
+    """Loss state mutated between calls (mul_) must take effect without a
+    retrace: the multiplier rides in the traced loss_params, so the
+    memoized executable sees the new value."""
+    model = _tiny_sd()
+    model.__dict__.pop("_guided_runs", None)
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    _, history1 = engine.guided_sample(
+        model, [clip_loss], latents, pairs, conditioning=conditioning,
+        guidance_scale=0.2,
+    )
+    clip_loss.mul_(2.0)
+    try:
+        _, history2 = engine.guided_sample(
+            model, [clip_loss], latents, pairs, conditioning=conditioning,
+            guidance_scale=0.2,
+        )
+    finally:
+        clip_loss.mul_(0.5)
+    assert len(model._guided_runs) == 1  # same executable...
+    # ...but the first step (identical initial latents) sees 2x the loss
+    np.testing.assert_allclose(
+        float(history2[0]), 2.0 * float(history1[0]), rtol=1e-5
+    )
+
+
+def test_guided_sample_plain_callable_not_memoized():
+    """Losses without the pure (apply, loss_params) protocol close over
+    their state at trace time, so guided_sample must NOT cache them."""
+    model = _tiny_sd()
+    model.__dict__.pop("_guided_runs", None)
+    conditioning = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    state = {"scale": 1.0}
+
+    def plain_loss(images):
+        return state["scale"] * jnp.mean(jnp.square(images))
+
+    _, history1 = engine.guided_sample(
+        model, [plain_loss], latents, pairs, conditioning=conditioning,
+        guidance_scale=0.2,
+    )
+    assert not model.__dict__.get("_guided_runs")
+    state["scale"] = 3.0
+    _, history2 = engine.guided_sample(
+        model, [plain_loss], latents, pairs, conditioning=conditioning,
+        guidance_scale=0.2,
+    )
+    np.testing.assert_allclose(
+        float(history2[0]), 3.0 * float(history1[0]), rtol=1e-5
+    )
+
+
 def test_guided_sample_n_resample_and_eta(clip_loss):
     model = _tiny_sd()
     conditioning = model.conditioning(["a test"])
