@@ -20,6 +20,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -357,6 +358,33 @@ class StableDiffusion:
     def decode(self, latents):
         return self.decode_fn(self.params, latents)
 
+    @contextmanager
+    def finetuneable_vae(self):
+        """Mutate-and-restore VAE finetuning scope (reference :200-215).
+
+        The reference deep-copies the VAE state_dict, flips
+        ``requires_grad`` back on, yields, then restores. In JAX both
+        halves are already functional — ``decode_fn(params, latents)``
+        takes params explicitly, so VAE gradients need no flag — which
+        leaves the restore as this scope's job: assign updated params to
+        ``model.params`` inside the block (e.g. from an optax step on
+        ``model.params["vae"]``) and the frozen originals come back on
+        exit::
+
+            with model.finetuneable_vae() as m:
+                grads = jax.grad(
+                    lambda vp: loss(m.decode_fn({**m.params, "vae": vp}, latents))
+                )(m.params["vae"])
+                m.params = {**m.params, "vae": optax.apply_updates(...)}
+                images = m.decode(latents)   # finetuned decode
+            # original frozen VAE restored here
+        """
+        saved = jax.tree.map(lambda leaf: leaf, self.params)
+        try:
+            yield self
+        finally:
+            self.params = saved
+
     def latent_masks(self, masks, blur: Optional[float] = 4.0) -> jax.Array:
         """masks (N,1,H,W) in [0,1] -> blurred latent-res masks
         (reference :325-341: kornia gaussian blur + bilinear /8)."""
@@ -575,20 +603,16 @@ class StableDiffusion:
 
         if mesh is not None:
             from perceptor_tpu import parallel
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            def repl(tree):
-                return jax.tree.map(
-                    lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())),
-                    tree,
-                )
 
             if latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
                 latents = parallel.shard_batch(latents, mesh)
                 init_latents = parallel.shard_batch(init_latents, mesh)
             else:
-                latents, init_latents = repl(latents), repl(init_latents)
-            pairs, cond2, key = repl(pairs), repl(cond2), repl(key)
+                latents = parallel.replicate(latents, mesh)
+                init_latents = parallel.replicate(init_latents, mesh)
+            pairs = parallel.replicate(pairs, mesh)
+            cond2 = parallel.replicate(cond2, mesh)
+            key = parallel.replicate(key, mesh)
 
         run_args = (
             params, latents, pairs, cond2, init_latents, key,

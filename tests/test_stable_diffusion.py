@@ -116,6 +116,35 @@ def test_vae_stochastic_encode_uses_key(tiny_vae):
     assert bool(jnp.any(a != mode))
 
 
+def test_finetuneable_vae_restores_params():
+    """Reference :200-215: VAE grads flow inside the scope and the frozen
+    originals come back on exit (including after in-place mutation)."""
+    from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer
+
+    model = StableDiffusion(name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[]))
+    original_leaf = jax.tree_util.tree_leaves(model.params["vae"])[0]
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    baseline = model.decode(latents)
+
+    with model.finetuneable_vae() as m:
+        assert m is model
+        grads = jax.grad(
+            lambda vp: jnp.square(
+                m.decode_fn({**m.params, "vae": vp}, latents)
+            ).mean()
+        )(m.params["vae"])
+        assert jax.tree_util.tree_reduce(
+            lambda acc, leaf: acc or bool(jnp.any(leaf != 0)), grads, False
+        )
+        # "finetune": perturb the VAE, both by rebind and in-place
+        m.params["vae"] = jax.tree.map(lambda p: p + 0.1, m.params["vae"])
+        inside = m.decode(latents)
+        assert bool(jnp.any(jnp.abs(inside - baseline) > 1e-6))
+
+    assert jax.tree_util.tree_leaves(model.params["vae"])[0] is original_leaf
+    np.testing.assert_allclose(model.decode(latents), baseline, atol=0)
+
+
 def test_text_encoder_parity_with_hf_clip():
     """Numerical parity vs a locally-built torch CLIPTextModel with random
     weights converted through convert.text_from_hf (the reference's parity
