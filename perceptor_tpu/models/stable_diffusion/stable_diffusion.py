@@ -564,8 +564,6 @@ class StableDiffusion:
         n_resample: int = 0, init_latents=None, replace_diffused: bool = False,
         cache_interval: int = 1, mesh=None, prime: bool = False,
     ):
-        import functools
-
         if cache_interval > 1 and n_resample > 0:
             raise ValueError("cache_interval and n_resample are incompatible")
         # memoize the jitted scan per static config: defining `run` fresh on
@@ -619,11 +617,21 @@ class StableDiffusion:
             jnp.float32(guidance_scale), jnp.float32(eta),
             int(n_resample), do_replace, int(cache_interval), stochastic,
         )
-        if cached_run is not None:
-            if prime:
-                cached_run.lower(*run_args).compile()
-                return None
-            return cached_run(*run_args)
+        if cached_run is None:
+            cached_run = self._build_sample_run()
+            self._sample_runs[run_key] = cached_run
+        if prime:
+            # AOT: trace + compile (persisting into the jax compilation
+            # cache) without executing — first-use latency is a choice
+            cached_run.lower(*run_args).compile()
+            return None
+        return cached_run(*run_args)
+
+    def _build_sample_run(self):
+        """The jitted sampling-scan program. Generic over everything but
+        the module/schedule (statics ride as trailing args); shared by
+        `sample()` and `export_sample()`."""
+        import functools
 
         @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
         def run(params, latents, pairs, cond2, init_latents, key,
@@ -728,13 +736,7 @@ class StableDiffusion:
             )
             return latents
 
-        self._sample_runs[run_key] = run
-        if prime:
-            # AOT: trace + compile (persisting into the jax compilation
-            # cache) without executing — first-use latency is a choice
-            run.lower(*run_args).compile()
-            return None
-        return run(*run_args)
+        return run
 
     def prime(self, sizes=((512, 512),), n_steps: int = 50, **kwargs) -> None:
         """AOT-compile `sample()` for the given image sizes/options so the
@@ -743,6 +745,100 @@ class StableDiffusion:
         static options of the later calls (eta/n_resample/cache_interval)."""
         for size in sizes:
             self.sample([""], n_steps=n_steps, size=size, prime=True, **kwargs)
+
+    def export_sample(
+        self,
+        batch: int = 1,
+        size: Tuple[int, int] = (512, 512),
+        n_steps: int = 50,
+        from_index: int = 999,
+        to_index: int = 0,
+        eta: float = 0.0,
+        n_resample: int = 0,
+        cache_interval: int = 1,
+        platforms=None,
+    ) -> bytes:
+        """Serialize the full text2image program (CFG sampling scan + VAE
+        decode as ONE function) as a portable ``jax.export`` artifact.
+
+        The returned program's signature is
+        ``(params, context2, diffused_latents, key, guidance_scale) ->
+        images``, where ``context2`` is the stacked
+        ``[negative, positive]`` text-encoder states of shape
+        ``(2*batch, context_length, context_dim)`` (produce them with the
+        exported conditioning program or ``model.conditioning``) and
+        ``diffused_latents`` is ``(batch, C, H/8, W/8)`` noise from
+        ``random_diffused_latents``. The schedule (``n_steps`` rho-spaced
+        indices) is baked in as a constant; weights are an argument.
+        Load with ``utils.serving.load_program``. See utils/serving.py for
+        why this beats the persistent compilation cache for deployment.
+        """
+        self._check_size(size)
+        pairs = jnp.asarray(
+            self.schedule_indices(
+                n_steps, from_index=from_index, to_index=to_index
+            )
+        )
+        stochastic = float(eta) > 0.0
+        run_key = (stochastic, int(n_resample), False, int(cache_interval))
+        if not hasattr(self, "_sample_runs"):
+            self._sample_runs = {}
+        run = self._sample_runs.get(run_key)
+        if run is None:
+            run = self._build_sample_run()
+            self._sample_runs[run_key] = run
+
+        def serve(params, context2, latents, key, guidance_scale):
+            cond2 = Conditioning(self.name, context2)
+            out = run(
+                params, latents, pairs, cond2, jnp.zeros_like(latents), key,
+                guidance_scale, jnp.float32(eta), int(n_resample), False,
+                int(cache_interval), stochastic,
+            )
+            return self.decode_fn(params, out)
+
+        down = self.vae_config.downscale
+        latent_size = (size[0] // down, size[1] // down)
+        example = (
+            self.params,
+            jnp.zeros(
+                (
+                    2 * batch,
+                    self.text_config.context_length,
+                    self.unet_config.context_dim,
+                ),
+                jnp.float32,
+            ),
+            jnp.zeros(
+                (batch, self.vae_config.latent_channels, *latent_size),
+                jnp.float32,
+            ),
+            jax.random.PRNGKey(0),
+            jnp.float32(7.0),
+        )
+        from perceptor_tpu.utils import serving
+
+        return serving.serialize_program(serve, *example, platforms=platforms)
+
+    def export_conditioning(self, batch: int = 1, platforms=None) -> bytes:
+        """Serialize the text-conditioning program
+        ``(params, tokens) -> encoder states`` for ``2*batch`` prompts
+        (the uncond/cond stack `export_sample` consumes). Tokenize on the
+        host with ``models.clip.tokenizer.tokenize``."""
+        def serve(params, tokens):
+            return self.text_encoder.apply(
+                {"params": params["text_encoder"]}, tokens
+            )
+
+        example = (
+            self.params,
+            jnp.zeros(
+                (2 * batch, self.text_config.context_length), jnp.int32
+            ),
+        )
+        from perceptor_tpu.utils import serving
+
+        return serving.serialize_program(serve, *example, platforms=platforms)
 
     def sample_iter(
         self,

@@ -7,6 +7,7 @@ from perceptor_tpu.utils.gradients import (
 )
 from perceptor_tpu.utils.profiling import StepTimer, annotate, trace
 from perceptor_tpu.utils.session import load_session, save_session
+from perceptor_tpu.utils import serving
 
 __all__ = [
     "cache",
@@ -19,4 +20,5 @@ __all__ = [
     "trace",
     "save_session",
     "load_session",
+    "serving",
 ]
