@@ -248,6 +248,59 @@ def guided_sample(
     )
 
 
+def export_guided_sample(
+    model,
+    losses: Sequence[Callable],
+    example_latents,
+    example_pairs,
+    conditioning=None,
+    loss_weights: Optional[Sequence[float]] = None,
+    eta: float = 0.0,
+    correction: bool = False,
+    n_resample: int = 0,
+    threshold: Optional[str] = None,
+    threshold_quantile: float = 0.95,
+    clamp_value: float = 1e-6,
+    platforms=None,
+) -> bytes:
+    """Serialize the guided-sampling program (the library's core IP) as a
+    portable ``jax.export`` StableHLO artifact (utils/serving.py,
+    docs/SERVING.md).
+
+    The artifact's signature is ``(model_params, latents, pairs,
+    loss_params, conditioning, key, guidance_scale, eta) -> (latents,
+    loss_history)`` — the schedule, prompt banks, and every weight tree
+    stay ARGUMENTS, so one artifact serves any checkpoint/prompt at the
+    exported shapes. Static options (correction/threshold/n_resample/
+    stochastic eta) are baked; export one artifact per combination.
+    ``example_latents``/``example_pairs``/``conditioning`` fix the shapes.
+    Loss params for the call side come from each loss's ``loss_params``
+    property (losses must follow the pure ``(apply, loss_params)``
+    protocol — all shipped losses do)."""
+    weights = tuple(loss_weights) if loss_weights is not None else (1.0,) * len(losses)
+    _, _, loss_fns, loss_frozen = _gather_frozen(lambda p: p, losses)
+    if any(fn is None for fn in loss_fns):
+        raise ValueError(
+            "export requires losses with the (apply, loss_params) protocol "
+            "(plain callables would bake their state into the artifact)"
+        )
+    if threshold not in (None, "dynamic", "static"):
+        raise ValueError(f"threshold must be None|'dynamic'|'static', got {threshold!r}")
+    stochastic = float(eta) > 0.0
+    run = _build_guided_run(
+        model, losses, loss_fns, weights, correction, n_resample,
+        threshold, threshold_quantile, stochastic, clamp_value,
+    )
+    from perceptor_tpu.utils import serving
+
+    example = (
+        model.params, example_latents, jnp.asarray(example_pairs),
+        loss_frozen, conditioning, jax.random.PRNGKey(0),
+        jnp.float32(0.5), jnp.float32(eta),
+    )
+    return serving.serialize_program(run, *example, platforms=platforms)
+
+
 def _build_guided_run(
     model, losses, loss_fns, weights, correction, n_resample, threshold,
     threshold_quantile, stochastic, clamp_value,

@@ -76,6 +76,53 @@ def test_export_conditioning_matches_text_encoder(tiny_sd):
     np.testing.assert_allclose(served, direct, atol=1e-6)
 
 
+def test_export_guided_sample_matches_live(tiny_sd):
+    """The exported guided program (engine core IP) reproduces
+    engine.guided_sample bit-for-bit at the exported shapes."""
+    from perceptor_tpu import engine
+    from perceptor_tpu.engine.guidance import _gather_frozen
+    from perceptor_tpu.losses.open_clip import OpenCLIP
+    from tests.test_clip import TINY
+
+    model = tiny_sd
+    loss = OpenCLIP("ViT-B-32", "test", config=TINY)
+    loss.add_encodings_(
+        jax.random.normal(jax.random.PRNGKey(1), (1, TINY.embed_dim))
+    )
+    cond = model.conditioning(["a guided test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    live_latents, live_history = engine.guided_sample(
+        model, [loss], latents, pairs, conditioning=cond,
+        guidance_scale=0.3, key=key,
+    )
+
+    blob = engine.export_guided_sample(
+        model, [loss], latents, pairs, conditioning=cond
+    )
+    call = serving.load_program(blob)
+    _, _, _, loss_frozen = _gather_frozen(lambda p: p, [loss])
+    served_latents, served_history = call(
+        model.params, latents, jnp.asarray(pairs), loss_frozen, cond, key,
+        jnp.float32(0.3), jnp.float32(0.0),
+    )
+    np.testing.assert_allclose(served_latents, live_latents, atol=1e-5)
+    np.testing.assert_allclose(served_history, live_history, atol=1e-5)
+
+
+def test_export_guided_sample_rejects_plain_callables(tiny_sd):
+    from perceptor_tpu import engine
+
+    pairs = tiny_sd.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = tiny_sd.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="protocol"):
+        engine.export_guided_sample(
+            tiny_sd, [lambda images: jnp.mean(images)], latents, pairs
+        )
+
+
 def test_export_sample_cross_platform_lowering(tiny_sd):
     """Build a TPU-loadable artifact on this CPU-only test host."""
     blob = tiny_sd.export_sample(
