@@ -265,3 +265,111 @@ class Text2Image:
         eps = (from_latents - predicted_denoised_latents * jnp.sqrt(from_ac)) / from_sqrt_1m
         dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
         return jnp.sqrt(to_ac) * predicted_denoised_latents + dir_xt + to_sigmas * noise
+
+    # -- fused sampler ---------------------------------------------------------
+
+    def sample(
+        self,
+        texts: Sequence[str],
+        negative_texts: Sequence[str] = ("",),
+        n_steps: int = 50,
+        size=(512, 512),
+        guidance_scale: Optional[float] = None,
+        eta: Optional[float] = None,
+        key=None,
+        from_index: int = 999,
+        to_index: int = 50,
+    ) -> jax.Array:
+        """The reference's sampling loop (its test loop, reference
+        text2image.py:164-179: per pair eps-with-built-in-CFG -> denoise
+        -> DDIM step; final denoise -> first-stage decode) fused into ONE
+        lax.scan program. ``guidance_scale``/``eta`` default to the
+        constructor fields and are TRACED (sweeping them reuses one
+        executable; only eta==0 vs >0 and CFG on/off retrace). Returns
+        images in [0, 1]."""
+        guidance_scale = (
+            self.guidance_scale if guidance_scale is None else guidance_scale
+        )
+        eta = self.eta if eta is None else eta
+        key = key if key is not None else jax.random.PRNGKey(0)
+        init_key, scan_key = jax.random.split(key)
+        latents = self.random_latents((len(texts), 3, *size), init_key)
+        cond = self.conditioning(list(texts), list(negative_texts))
+        pairs = jnp.asarray(
+            self.schedule_indices(from_index, to_index, n_steps)
+        )
+        stochastic = float(eta) > 0.0
+        use_cfg = not (guidance_scale is None or guidance_scale == 1.0)
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        run = runs.get((stochastic, use_cfg))
+        if run is None:
+            run = self._build_sample_run(stochastic, use_cfg)
+            runs[(stochastic, use_cfg)] = run
+        return run(
+            self.params, latents, pairs, cond, scan_key,
+            jnp.float32(1.0 if guidance_scale is None else guidance_scale),
+            jnp.float32(eta),
+        )
+
+    def _build_sample_run(self, stochastic, use_cfg):
+        """Jitted scan for `sample()`'s static flag combination."""
+
+        @jax.jit
+        def run(params, latents, pairs, cond, key, guidance_scale, eta):
+            n = latents.shape[0]
+            positive, negative = cond[:n], cond[n:]
+
+            def eps_fn(latents, index):
+                ts = jnp.full((n,), index, jnp.float32)
+                if not use_cfg:
+                    return self.unet.apply(
+                        {"params": params["unet"]}, latents, ts, positive
+                    )
+                stacked = self.unet.apply(
+                    {"params": params["unet"]},
+                    jnp.concatenate([latents, latents]),
+                    jnp.concatenate([ts, ts]),
+                    jnp.concatenate(
+                        [positive, jnp.broadcast_to(negative, positive.shape)]
+                    ),
+                )
+                eps_cond, eps_neg = jnp.split(stacked, 2)
+                return eps_neg + guidance_scale * (eps_cond - eps_neg)
+
+            def body(carry, pair):
+                latents, key = carry
+                from_i, to_i = pair[0], pair[1]
+                eps = eps_fn(latents, from_i)
+                from_ac = self.alphas_cumprod(from_i)
+                to_ac = self.alphas_cumprod(to_i)
+                denoised = (
+                    latents - self.sqrt_one_minus_alphas_cumprod(from_i) * eps
+                ) / jnp.sqrt(from_ac)
+                to_sigmas = eta * jnp.sqrt(
+                    (1 - to_ac) / (1 - from_ac) * (1 - from_ac / to_ac)
+                )
+                if stochastic:
+                    key, noise_key = jax.random.split(key)
+                    noise = jax.random.normal(
+                        noise_key, latents.shape, latents.dtype
+                    )
+                else:
+                    noise = jnp.zeros_like(latents)
+                dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
+                latents = (
+                    jnp.sqrt(to_ac) * denoised + dir_xt + to_sigmas * noise
+                )
+                return (latents, key), None
+
+            (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
+            final_i = pairs[-1, 1]
+            eps = eps_fn(latents, final_i)
+            denoised = (
+                latents - self.sqrt_one_minus_alphas_cumprod(final_i) * eps
+            ) / jnp.sqrt(self.alphas_cumprod(final_i))
+            return self.first_stage.apply(
+                {"params": params["first_stage"]}, denoised,
+                method=AutoencoderKL.decode,
+            )
+
+        return run

@@ -341,3 +341,39 @@ def test_parity_sd_unet_vs_compvis():
         jnp.asarray(context.numpy()),
     )
     np.testing.assert_allclose(np.asarray(actual), expected, atol=2e-4)
+
+
+def test_text2image_fused_sample_matches_stepwise(tiny_text2image):
+    """Text2Image.sample() (one lax.scan program) must equal the host
+    per-step loop it fuses (the reference's test loop, reference
+    text2image.py:164-179), CFG included."""
+    model = tiny_text2image  # guidance_scale=3.0, eta=0.0
+    key = jax.random.PRNGKey(5)
+    out = model.sample(
+        ["a photo of a cat"], n_steps=3, size=(64, 64), key=key,
+        from_index=999, to_index=500,
+    )
+
+    init_key, _ = jax.random.split(key)
+    latents = model.random_latents((1, 3, 64, 64), init_key)
+    cond = model.conditioning(["a photo of a cat"])
+    for from_index, to_index in model.schedule_indices(
+        from_index=999, to_index=500, n_steps=3
+    ):
+        denoised = model.denoise(latents, int(from_index), cond)
+        latents = model.step(latents, denoised, int(from_index), int(to_index))
+    expected = model.images(model.denoise(latents, 500, cond))
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_text2image_fused_sample_memoizes_and_traces_scale(tiny_text2image):
+    model = tiny_text2image
+    model.__dict__.pop("_sample_runs", None)
+    kwargs = dict(n_steps=2, size=(64, 64), from_index=999, to_index=500,
+                  key=jax.random.PRNGKey(0))
+    a = model.sample(["a"], guidance_scale=2.0, **kwargs)
+    b = model.sample(["a"], guidance_scale=8.0, **kwargs)
+    assert len(model._sample_runs) == 1  # scale is traced
+    assert bool(jnp.any(jnp.abs(a - b) > 1e-6))  # ...but takes effect

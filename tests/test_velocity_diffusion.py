@@ -150,3 +150,48 @@ def test_full_sampler_loop_compiled():
     result = sample(model.params, diffused0)
     assert result.shape == diffused0.shape
     assert bool(jnp.all(jnp.isfinite(result)))
+
+
+def test_fused_sample_matches_stepwise_algebra():
+    """model.sample() (one lax.scan program) must equal the host-side
+    per-step algebra loop it fuses (the reference's test-loop pattern,
+    reference velocity_diffusion.py:167-198, without churn/correction)."""
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(3)
+    out = model.sample(n_images=1, n_steps=4, key=key)
+
+    init_key, _ = jax.random.split(key)
+    diffused = model.random_diffused((1, *model.shape), init_key)
+    pairs = model.schedule_ts(4)
+    for from_t, to_t in pairs:
+        p = model.predictions(diffused, float(from_t))
+        diffused = p.step(jnp.broadcast_to(jnp.float32(to_t), (1,)))
+    expected = model.predictions(diffused, float(pairs[-1, 1])).denoised_images
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_fused_sample_flags_and_memoization():
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    model.__dict__.pop("_sample_runs", None)
+    out = model.sample(
+        n_images=2, n_steps=3, eta=0.5, churn=0.003, correction=True,
+        key=jax.random.PRNGKey(1),
+    )
+    assert out.shape == (2, *model.shape)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert len(model._sample_runs) == 1
+    # eta/churn are traced: sweeping them must reuse the one executable
+    model.sample(
+        n_images=2, n_steps=3, eta=0.7, churn=0.005, correction=True,
+        key=jax.random.PRNGKey(2),
+    )
+    assert len(model._sample_runs) == 1
+
+
+def test_fused_sample_conditioned_defaults_to_zero_embedding():
+    model = VelocityDiffusion(name="tiny_conditioned", fp16=False)
+    out = model.sample(n_images=1, n_steps=2, key=jax.random.PRNGKey(0))
+    assert out.shape == (1, *model.shape)
+    assert bool(jnp.all(jnp.isfinite(out)))
