@@ -124,6 +124,27 @@ class GuidedDiffusion:
 
     forward = predictions
 
+    def predictions_fn(
+        self, params, diffused_images, indices, conditioning=None
+    ) -> IndexedEpsPredictions:
+        """Pure `predictions` (params as an argument, jit/engine-safe —
+        the signature engine.guided_sample drives). ADM is unconditional;
+        `conditioning` must be None."""
+        if conditioning is not None:
+            raise ValueError("GuidedDiffusion is unconditional")
+        indices = self._indices(indices)
+        if indices.shape[0] == 1 and diffused_images.shape[0] > 1:
+            indices = jnp.broadcast_to(indices, (diffused_images.shape[0],))
+        return IndexedEpsPredictions(
+            from_diffused_images=diffused_images,
+            from_indices=indices,
+            predicted_noise=self._predicted_noise_fn(
+                params, diffused_images, indices
+            ),
+            schedule_alphas=self.schedule_alphas,
+            schedule_sigmas=self.schedule_sigmas,
+        )
+
     def diffuse_images(self, denoised_images, indices, noise=None, key=None):
         """q-sample (reference :148-155)."""
         xs = diffusion_space.encode(denoised_images)
@@ -134,3 +155,73 @@ class GuidedDiffusion:
         return diffusion_space.decode(
             xs * self.alphas(indices) + noise * self.sigmas(indices)
         )
+
+    # -- fused sampler ---------------------------------------------------------
+
+    def sample(
+        self,
+        n_images: int = 1,
+        n_steps: int = 50,
+        size=None,
+        eta: float = 0.0,
+        key=None,
+        from_index: int = 999,
+        to_index: int = 0,
+        rho: float = 3.0,
+        init_images=None,
+    ) -> jax.Array:
+        """The reference's sampling loop (its test loop, reference
+        guided_diffusion.py:158-196: predictions -> DDIM step per pair,
+        final denoised_images; rho=3.0 there) fused into ONE memoized
+        lax.scan program. ``init_images`` + ``from_index < 999`` gives
+        img2img (the reference's init-image test, :199-227). Returns the
+        final denoised images in [0, 1]."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        init_key, scan_key = jax.random.split(key)
+        size = size if size is not None else self.shape[1:]
+        pairs = jnp.asarray(
+            self.schedule_indices(
+                n_steps, from_index=from_index, to_index=to_index, rho=rho
+            )
+        )
+        if init_images is None:
+            diffused = self.random_diffused((n_images, 3, *size), init_key)
+        else:
+            diffused = self.diffuse_images(
+                jnp.asarray(init_images), int(pairs[0, 0]), key=init_key
+            )
+        stochastic = float(eta) > 0.0
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        run = runs.get(stochastic)
+        if run is None:
+            run = self._build_sample_run(stochastic)
+            runs[stochastic] = run
+        return run(self.params, diffused, pairs, scan_key, jnp.float32(eta))
+
+    def _build_sample_run(self, stochastic):
+        """Jitted scan for `sample()`'s static flag combination."""
+
+        @jax.jit
+        def run(params, diffused, pairs, key, eta):
+            n = diffused.shape[0]
+
+            def predict(diffused, indices):
+                return self.predictions_fn(
+                    params, diffused, jnp.broadcast_to(indices, (n,))
+                )
+
+            def body(carry, pair):
+                diffused, key = carry
+                predictions = predict(diffused, pair[0])
+                to_idx = jnp.broadcast_to(pair[1], (n,))
+                if stochastic:
+                    key, step_key = jax.random.split(key)
+                    stepped = predictions.step(to_idx, eta=eta, key=step_key)
+                else:
+                    stepped = predictions.step(to_idx)
+                return (stepped, key), None
+
+            (diffused, _), _ = jax.lax.scan(body, (diffused, key), pairs)
+            return predict(diffused, pairs[-1, 1]).denoised_images
+
+        return run

@@ -105,3 +105,49 @@ def test_bad_size_rejected():
     model = GuidedDiffusion(name="tiny", fp16=False)
     with pytest.raises(ValueError):
         model.random_diffused((1, 3, 33, 32), jax.random.PRNGKey(0))
+
+
+def test_fused_sample_matches_stepwise_algebra():
+    """model.sample() (one lax.scan) must equal the host per-step loop it
+    fuses (the reference's test loop, reference guided_diffusion.py:158-196)."""
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(4)
+    out = model.sample(n_images=1, n_steps=3, size=(32, 32), key=key, rho=3.0)
+
+    init_key, _ = jax.random.split(key)
+    diffused = model.random_diffused((1, 3, 32, 32), init_key)
+    pairs = model.schedule_indices(n_steps=3, rho=3.0)
+    for from_i, to_i in pairs:
+        p = model.predictions(diffused, int(from_i))
+        diffused = p.step(jnp.asarray([int(to_i)]))
+    expected = model.predictions(diffused, int(pairs[-1, 1])).denoised_images
+
+    assert out.shape == expected.shape
+    # random-weight tiny ADM emits ~1e2-magnitude images: compare relative
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_sample_img2img_and_memo():
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    model.__dict__.pop("_sample_runs", None)
+    init = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    out = model.sample(
+        n_steps=2, size=(32, 32), from_index=500, init_images=init,
+        eta=0.3, key=jax.random.PRNGKey(1),
+    )
+    assert out.shape == init.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    model.sample(
+        n_steps=2, size=(32, 32), from_index=500, init_images=init,
+        eta=0.8, key=jax.random.PRNGKey(2),
+    )
+    assert len(model._sample_runs) == 1  # eta traced
+
+
+def test_predictions_fn_rejects_conditioning():
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    diffused = model.random_diffused((1, 3, 32, 32), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        model.predictions_fn(model.params, diffused, 500, conditioning=jnp.ones(4))

@@ -377,3 +377,24 @@ def test_text2image_fused_sample_memoizes_and_traces_scale(tiny_text2image):
     b = model.sample(["a"], guidance_scale=8.0, **kwargs)
     assert len(model._sample_runs) == 1  # scale is traced
     assert bool(jnp.any(jnp.abs(a - b) > 1e-6))  # ...but takes effect
+
+
+def test_face_fused_sample_matches_stepwise():
+    model = Face(fp16=False, tiny=True)
+    key = jax.random.PRNGKey(9)
+    out = model.sample(
+        n_images=1, n_steps=3, size=(64, 64), key=key,
+        from_index=999, to_index=500,
+    )
+
+    init_key, _ = jax.random.split(key)
+    latents = model.random_latents((1, 3, 64, 64), init_key)
+    for from_index, to_index in model.schedule_indices(
+        from_index=999, to_index=500, n_steps=3
+    ):
+        denoised = model.denoise(latents, int(from_index))
+        latents = model.step(latents, denoised, int(from_index), int(to_index))
+    expected = model.images(model.denoise(latents, 500))
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
