@@ -203,3 +203,91 @@ class SuperResolution:
         eps = (from_latents - predicted_denoised_latents * jnp.sqrt(from_ac)) / from_sqrt_1m
         dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
         return jnp.sqrt(to_ac) * predicted_denoised_latents + dir_xt + to_sigmas * noise
+
+    # -- fused sampler ---------------------------------------------------------
+
+    def sample(self, images, n_steps=50, eta=None, key=None,
+               from_index=999, to_index=0):
+        """Super-resolution sampling conditioned on ``images`` (the LR
+        content on the HR canvas, e.g. ``upsample(lr)``) — the reference's
+        BSR user loop (eps/denoise/step conditioned on the LR image,
+        reference super_resolution.py:99-175) as ONE memoized lax.scan
+        program: noise latents -> per pair eps(concat cond) -> denoise ->
+        DDIM step -> final denoise -> VQ decode. ``eta`` defaults to the
+        constructor field (1.0 for BSR) and is traced. Returns images in
+        [0, 1] at the input canvas size."""
+        eta = self.eta if eta is None else eta
+        key = key if key is not None else jax.random.PRNGKey(0)
+        init_key, scan_key = jax.random.split(key)
+        cond = self.conditioning(images)
+        latents = jax.random.normal(
+            init_key,
+            (images.shape[0], self.unet_config.out_channels, *cond.shape[-2:]),
+        )
+        pairs = jnp.asarray(
+            self.schedule_indices(from_index, to_index, n_steps)
+        )
+        stochastic = float(eta) > 0.0
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        run = runs.get(stochastic)
+        if run is None:
+            run = self._build_sample_run(stochastic)
+            runs[stochastic] = run
+        return run(
+            self.params, latents, pairs, cond, scan_key, jnp.float32(eta)
+        )
+
+    def _build_sample_run(self, stochastic):
+        """Jitted scan for `sample()`'s static flag combination."""
+
+        @jax.jit
+        def run(params, latents, pairs, cond, key, eta):
+            n = latents.shape[0]
+
+            def eps_fn(latents, index):
+                ts = jnp.full((n,), index, jnp.float32)
+                return self.unet.apply(
+                    {"params": params["unet"]},
+                    jnp.concatenate([latents, cond], axis=1),
+                    ts,
+                )
+
+            def denoise(latents, index, eps):
+                return (
+                    latents - self.sqrt_one_minus_alphas_cumprod(index) * eps
+                ) / jnp.sqrt(self.alphas_cumprod(index))
+
+            def body(carry, pair):
+                latents, key = carry
+                from_i, to_i = pair[0], pair[1]
+                eps = eps_fn(latents, from_i)
+                denoised = denoise(latents, from_i, eps)
+                from_ac = self.alphas_cumprod(from_i)
+                to_ac = self.alphas_cumprod(to_i)
+                to_sigmas = eta * jnp.sqrt(
+                    (1 - to_ac) / (1 - from_ac) * (1 - from_ac / to_ac)
+                )
+                if stochastic:
+                    key, noise_key = jax.random.split(key)
+                    noise = jax.random.normal(
+                        noise_key, latents.shape, latents.dtype
+                    )
+                else:
+                    noise = jnp.zeros_like(latents)
+                dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
+                latents = (
+                    jnp.sqrt(to_ac) * denoised + dir_xt + to_sigmas * noise
+                )
+                return (latents, key), None
+
+            (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
+            final_i = pairs[-1, 1]
+            denoised = denoise(latents, final_i, eps_fn(latents, final_i))
+            return diffusion_space.decode(
+                self.first_stage.apply(
+                    {"params": params["first_stage"]}, denoised,
+                    method=VQModel.decode,
+                )
+            )
+
+        return run

@@ -398,3 +398,24 @@ def test_face_fused_sample_matches_stepwise():
 
     assert out.shape == expected.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_super_resolution_fused_sample_matches_stepwise():
+    model = SuperResolution(fp16=False, tiny=True, eta=0.0)
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 16))
+    hr_canvas = model.upsample(lr)
+    key = jax.random.PRNGKey(11)
+    out = model.sample(hr_canvas, n_steps=3, key=key, from_index=999, to_index=500)
+
+    init_key, _ = jax.random.split(key)
+    cond = model.conditioning(hr_canvas)
+    latents = jax.random.normal(
+        init_key, (1, model.unet_config.out_channels, *cond.shape[-2:])
+    )
+    for from_index, to_index in model.schedule_indices(999, 500, 3):
+        denoised = model.denoise(latents, cond, int(from_index))
+        latents = model.step(latents, denoised, int(from_index), int(to_index))
+    expected = model.images(model.denoise(latents, cond, 500))
+
+    assert out.shape == expected.shape == hr_canvas.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
