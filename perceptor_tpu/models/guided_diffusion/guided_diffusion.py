@@ -169,6 +169,8 @@ class GuidedDiffusion:
         to_index: int = 0,
         rho: float = 3.0,
         init_images=None,
+        mesh=None,
+        rules=None,
     ) -> jax.Array:
         """The reference's sampling loop (its test loop, reference
         guided_diffusion.py:158-196: predictions -> DDIM step per pair,
@@ -190,13 +192,20 @@ class GuidedDiffusion:
             diffused = self.diffuse_images(
                 jnp.asarray(init_images), int(pairs[0, 0]), key=init_key
             )
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params, diffused, pairs, scan_key = parallel.shard_for_sampling(
+                mesh, params, diffused, pairs, scan_key, rules=rules
+            )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
         run = runs.get(stochastic)
         if run is None:
             run = self._build_sample_run(stochastic)
             runs[stochastic] = run
-        return run(self.params, diffused, pairs, scan_key, jnp.float32(eta))
+        return run(params, diffused, pairs, scan_key, jnp.float32(eta))
 
     def _build_sample_run(self, stochastic):
         """Jitted scan for `sample()`'s static flag combination."""

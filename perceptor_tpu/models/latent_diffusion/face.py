@@ -210,6 +210,8 @@ class Face:
         key=None,
         from_index: int = 999,
         to_index: int = 50,
+        mesh=None,
+        rules=None,
     ) -> jax.Array:
         """Unconditional face sampling (the reference's user loop over
         denoise/step, reference face.py:87-110) as ONE memoized lax.scan
@@ -223,13 +225,20 @@ class Face:
         pairs = jnp.asarray(
             self.schedule_indices(from_index, to_index, n_steps)
         )
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params, latents, pairs, scan_key = parallel.shard_for_sampling(
+                mesh, params, latents, pairs, scan_key, rules=rules
+            )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
         run = runs.get(stochastic)
         if run is None:
             run = self._build_sample_run(stochastic)
             runs[stochastic] = run
-        return run(self.params, latents, pairs, scan_key, jnp.float32(eta))
+        return run(params, latents, pairs, scan_key, jnp.float32(eta))
 
     def _build_sample_run(self, stochastic):
         """Jitted scan for `sample()`'s static flag combination."""

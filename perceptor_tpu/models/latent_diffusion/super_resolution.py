@@ -207,7 +207,7 @@ class SuperResolution:
     # -- fused sampler ---------------------------------------------------------
 
     def sample(self, images, n_steps=50, eta=None, key=None,
-               from_index=999, to_index=0):
+               from_index=999, to_index=0, mesh=None, rules=None):
         """Super-resolution sampling conditioned on ``images`` (the LR
         content on the HR canvas, e.g. ``upsample(lr)``) — the reference's
         BSR user loop (eps/denoise/step conditioned on the LR image,
@@ -227,6 +227,15 @@ class SuperResolution:
         pairs = jnp.asarray(
             self.schedule_indices(from_index, to_index, n_steps)
         )
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params, latents, pairs, cond, scan_key = (
+                parallel.shard_for_sampling(
+                    mesh, params, latents, pairs, cond, scan_key, rules=rules
+                )
+            )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
         run = runs.get(stochastic)
@@ -234,7 +243,7 @@ class SuperResolution:
             run = self._build_sample_run(stochastic)
             runs[stochastic] = run
         return run(
-            self.params, latents, pairs, cond, scan_key, jnp.float32(eta)
+            params, latents, pairs, cond, scan_key, jnp.float32(eta)
         )
 
     def _build_sample_run(self, stochastic):

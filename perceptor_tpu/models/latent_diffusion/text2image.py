@@ -279,6 +279,8 @@ class Text2Image:
         key=None,
         from_index: int = 999,
         to_index: int = 50,
+        mesh=None,
+        rules=None,
     ) -> jax.Array:
         """The reference's sampling loop (its test loop, reference
         text2image.py:164-179: per pair eps-with-built-in-CFG -> denoise
@@ -298,6 +300,15 @@ class Text2Image:
         pairs = jnp.asarray(
             self.schedule_indices(from_index, to_index, n_steps)
         )
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params, latents, pairs, cond, scan_key = (
+                parallel.shard_for_sampling(
+                    mesh, params, latents, pairs, cond, scan_key, rules=rules
+                )
+            )
         stochastic = float(eta) > 0.0
         use_cfg = not (guidance_scale is None or guidance_scale == 1.0)
         runs = self.__dict__.setdefault("_sample_runs", {})
@@ -306,7 +317,7 @@ class Text2Image:
             run = self._build_sample_run(stochastic, use_cfg)
             runs[(stochastic, use_cfg)] = run
         return run(
-            self.params, latents, pairs, cond, scan_key,
+            params, latents, pairs, cond, scan_key,
             jnp.float32(1.0 if guidance_scale is None else guidance_scale),
             jnp.float32(eta),
         )

@@ -200,6 +200,8 @@ class VelocityDiffusion:
         key=None,
         from_ts: float = 1.0,
         to_ts: float = 1e-2,
+        mesh=None,
+        rules=None,
     ) -> jax.Array:
         """The reference's canonical sampling loop as ONE lax.scan program.
 
@@ -226,6 +228,17 @@ class VelocityDiffusion:
             # zero CLIP embedding == the CFG-trained unconditional branch
             conditioning = jnp.zeros((1, self.config.mapping.clip_dim))
 
+        params = self.params
+        if mesh is not None:
+            from perceptor_tpu import parallel
+
+            params, diffused, pairs, conditioning, scan_key = (
+                parallel.shard_for_sampling(
+                    mesh, params, diffused, pairs, conditioning, scan_key,
+                    rules=rules,
+                )
+            )
+
         stochastic = float(eta) > 0.0
         do_churn = float(churn) > 0.0
         run_key = (
@@ -237,7 +250,7 @@ class VelocityDiffusion:
             run = self._build_sample_run(stochastic, do_churn, bool(correction))
             runs[run_key] = run
         return run(
-            self.params, diffused, pairs, conditioning, scan_key,
+            params, diffused, pairs, conditioning, scan_key,
             jnp.float32(eta), jnp.float32(churn),
         )
 

@@ -34,6 +34,7 @@ from perceptor_tpu.parallel.partition import (
     partition_params,
     shard_params,
     shard_batch,
+    shard_for_sampling,
     replicate,
 )
 
@@ -47,6 +48,7 @@ __all__ = [
     "partition_params",
     "shard_params",
     "shard_batch",
+    "shard_for_sampling",
     "replicate",
     "ring_attention",
     "ring_self_attention",

@@ -115,3 +115,22 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(
         lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
     )
+
+
+def shard_for_sampling(mesh: Mesh, params, latents, *replicated, rules=None):
+    """The common `sample(mesh=)` plumbing shared by the family samplers:
+    params placed by the tensor-parallel rules (leaves no rule matches —
+    or that don't divide — are replicated), the latent batch sharded over
+    the data axis when divisible (replicated otherwise), everything else
+    replicated. Returns ``(params, latents, *replicated)``; None entries
+    pass through."""
+    kwargs = {} if rules is None else {"rules": rules}
+    params = shard_params(params, mesh, **kwargs)
+    if latents.shape[0] % mesh.shape[AXIS_DATA] == 0:
+        latents = shard_batch(latents, mesh)
+    else:
+        latents = replicate(latents, mesh)
+    reps = tuple(
+        replicate(r, mesh) if r is not None else None for r in replicated
+    )
+    return (params, latents) + reps

@@ -195,3 +195,19 @@ def test_fused_sample_conditioned_defaults_to_zero_embedding():
     out = model.sample(n_images=1, n_steps=2, key=jax.random.PRNGKey(0))
     assert out.shape == (1, *model.shape)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fused_sample_mesh_matches_unsharded():
+    """sample(mesh=) shards the batch over data (params replicated via
+    rule demotion) and matches the single-device program."""
+    from perceptor_tpu import parallel
+
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    mesh = parallel.create_mesh(data=4, tensor=2)
+    kwargs = dict(n_images=4, n_steps=2, key=jax.random.PRNGKey(0))
+    expected = model.sample(**kwargs)
+    sharded = model.sample(mesh=mesh, **kwargs)
+    assert sharded.shape == expected.shape
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(expected), atol=1e-4
+    )
