@@ -22,6 +22,7 @@ from perceptor_tpu.core.init import init_by_shape
 from perceptor_tpu.models.guided_diffusion.config import ADMConfig
 from perceptor_tpu.models.guided_diffusion.unet import ADMUNet
 from perceptor_tpu.models.latent_diffusion import first_stage
+from perceptor_tpu.models.latent_diffusion.ddim import ddim_update
 from perceptor_tpu.models.latent_diffusion.first_stage import VQModel
 from perceptor_tpu.ops.resize import resize
 from perceptor_tpu.predictions import diffusion_space
@@ -271,11 +272,6 @@ class SuperResolution:
                 from_i, to_i = pair[0], pair[1]
                 eps = eps_fn(latents, from_i)
                 denoised = denoise(latents, from_i, eps)
-                from_ac = self.alphas_cumprod(from_i)
-                to_ac = self.alphas_cumprod(to_i)
-                to_sigmas = eta * jnp.sqrt(
-                    (1 - to_ac) / (1 - from_ac) * (1 - from_ac / to_ac)
-                )
                 if stochastic:
                     key, noise_key = jax.random.split(key)
                     noise = jax.random.normal(
@@ -283,9 +279,9 @@ class SuperResolution:
                     )
                 else:
                     noise = jnp.zeros_like(latents)
-                dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
-                latents = (
-                    jnp.sqrt(to_ac) * denoised + dir_xt + to_sigmas * noise
+                latents = ddim_update(
+                    latents, eps, denoised, self.alphas_cumprod(from_i),
+                    self.alphas_cumprod(to_i), eta, noise,
                 )
                 return (latents, key), None
 

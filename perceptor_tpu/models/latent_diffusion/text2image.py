@@ -21,6 +21,7 @@ from perceptor_tpu.models.guided_diffusion.config import ADMConfig
 from perceptor_tpu.models.guided_diffusion.unet import ADMUNet
 from perceptor_tpu.models.latent_diffusion import bert as bert_lib
 from perceptor_tpu.models.latent_diffusion import first_stage
+from perceptor_tpu.models.latent_diffusion.ddim import ddim_update
 from perceptor_tpu.models.stable_diffusion.vae import AutoencoderKL
 from perceptor_tpu.predictions import diffusion_space
 from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
@@ -352,13 +353,9 @@ class Text2Image:
                 from_i, to_i = pair[0], pair[1]
                 eps = eps_fn(latents, from_i)
                 from_ac = self.alphas_cumprod(from_i)
-                to_ac = self.alphas_cumprod(to_i)
                 denoised = (
                     latents - self.sqrt_one_minus_alphas_cumprod(from_i) * eps
                 ) / jnp.sqrt(from_ac)
-                to_sigmas = eta * jnp.sqrt(
-                    (1 - to_ac) / (1 - from_ac) * (1 - from_ac / to_ac)
-                )
                 if stochastic:
                     key, noise_key = jax.random.split(key)
                     noise = jax.random.normal(
@@ -366,9 +363,9 @@ class Text2Image:
                     )
                 else:
                     noise = jnp.zeros_like(latents)
-                dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
-                latents = (
-                    jnp.sqrt(to_ac) * denoised + dir_xt + to_sigmas * noise
+                latents = ddim_update(
+                    latents, eps, denoised, from_ac,
+                    self.alphas_cumprod(to_i), eta, noise,
                 )
                 return (latents, key), None
 
