@@ -322,3 +322,33 @@ def test_guided_sample_mesh_matches_unsharded(clip_loss):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(expected), atol=1e-4
     )
+
+
+def test_guided_sample_drives_velocity_family(clip_loss):
+    """engine.guided_sample is model-generic: drive the velocity family
+    (continuous-t predictions_fn) through the same fused loop."""
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    pairs = jnp.asarray(model.schedule_ts(n_steps=3), jnp.float32)
+    diffused = model.random_diffused((1, *model.shape), jax.random.PRNGKey(0))
+    final, history = engine.guided_sample(
+        model, [clip_loss], diffused, pairs, guidance_scale=0.3,
+    )
+    assert final.shape == diffused.shape
+    assert history.shape == (pairs.shape[0],)
+    assert bool(jnp.all(jnp.isfinite(final)))
+
+
+def test_guided_sample_drives_adm_family(clip_loss):
+    """...and the ADM (indexed-eps pixel) family."""
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    pairs = jnp.asarray(model.schedule_indices(n_steps=3, rho=3.0))
+    diffused = model.random_diffused((1, 3, 32, 32), jax.random.PRNGKey(0))
+    final, history = engine.guided_sample(
+        model, [clip_loss], diffused, pairs, guidance_scale=0.3,
+    )
+    assert final.shape == diffused.shape
+    assert bool(jnp.all(jnp.isfinite(final)))
