@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import optax
 
 
+_GUIDED_MEMO_MAX = 8  # compiled guided runs kept per model instance
+
+
 def _gather_frozen(synthesize, losses):
     """Collect every frozen-weights pytree the step reads, so it can be
     passed as a jit ARGUMENT. Closing over concrete device arrays inside
@@ -241,6 +244,11 @@ def guided_sample(
             threshold, threshold_quantile, stochastic, clamp_value,
         )
         if memoizable:
+            # The strong loss refs keep the keyed id()s stable, but they
+            # also pin the loss towers' weights — bound the memo (FIFO) so
+            # a config sweep can't accumulate unbounded pinned params.
+            while len(runs) >= _GUIDED_MEMO_MAX:
+                runs.pop(next(iter(runs)))
             runs[run_key] = (run, tuple(losses))
     return run(
         mparams, latents, pairs, loss_frozen, conditioning, key,

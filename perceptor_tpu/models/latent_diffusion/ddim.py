@@ -7,6 +7,7 @@ The same index-space DDIM formula appears in the reference's Text2Image
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,3 +23,52 @@ def ddim_update(latents, eps, denoised, from_ac, to_ac, eta, noise):
     )
     dir_xt = jnp.sqrt(1.0 - to_ac - to_sigmas**2) * eps
     return jnp.sqrt(to_ac) * denoised + dir_xt + to_sigmas * noise
+
+
+def build_ldm_sample_run(owner, stochastic, make_eps_fn, decode):
+    """Shared fused-sampler builder for the LDM family (Text2Image, Face,
+    SuperResolution): per pair eps -> denoise -> DDIM step, final denoise
+    -> first-stage decode, as ONE jitted lax.scan program.
+
+    ``owner`` supplies the schedule tables (``alphas_cumprod`` /
+    ``sqrt_one_minus_alphas_cumprod``); ``make_eps_fn(params, cond,
+    guidance_scale, n)`` returns the family's ``(latents, index) -> eps``
+    closure (built-in CFG, concat conditioning, or unconditional — cond
+    and guidance_scale pass through unused where not applicable);
+    ``decode(params, denoised_latents) -> images [0, 1]``.
+    """
+
+    @jax.jit
+    def run(params, latents, pairs, cond, key, guidance_scale, eta):
+        n = latents.shape[0]
+        eps_fn = make_eps_fn(params, cond, guidance_scale, n)
+
+        def denoise(latents, index, eps):
+            return (
+                latents - owner.sqrt_one_minus_alphas_cumprod(index) * eps
+            ) / jnp.sqrt(owner.alphas_cumprod(index))
+
+        def body(carry, pair):
+            latents, key = carry
+            from_i, to_i = pair[0], pair[1]
+            eps = eps_fn(latents, from_i)
+            denoised = denoise(latents, from_i, eps)
+            if stochastic:
+                key, noise_key = jax.random.split(key)
+                noise = jax.random.normal(
+                    noise_key, latents.shape, latents.dtype
+                )
+            else:
+                noise = jnp.zeros_like(latents)
+            latents = ddim_update(
+                latents, eps, denoised, owner.alphas_cumprod(from_i),
+                owner.alphas_cumprod(to_i), eta, noise,
+            )
+            return (latents, key), None
+
+        (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
+        final_i = pairs[-1, 1]
+        denoised = denoise(latents, final_i, eps_fn(latents, final_i))
+        return decode(params, denoised)
+
+    return run

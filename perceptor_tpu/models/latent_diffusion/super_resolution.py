@@ -22,7 +22,7 @@ from perceptor_tpu.core.init import init_by_shape
 from perceptor_tpu.models.guided_diffusion.config import ADMConfig
 from perceptor_tpu.models.guided_diffusion.unet import ADMUNet
 from perceptor_tpu.models.latent_diffusion import first_stage
-from perceptor_tpu.models.latent_diffusion.ddim import ddim_update
+from perceptor_tpu.models.latent_diffusion.ddim import build_ldm_sample_run
 from perceptor_tpu.models.latent_diffusion.first_stage import VQModel
 from perceptor_tpu.ops.resize import resize
 from perceptor_tpu.predictions import diffusion_space
@@ -244,15 +244,16 @@ class SuperResolution:
             run = self._build_sample_run(stochastic)
             runs[stochastic] = run
         return run(
-            params, latents, pairs, cond, scan_key, jnp.float32(eta)
+            params, latents, pairs, cond, scan_key, jnp.float32(0.0),
+            jnp.float32(eta),
         )
 
     def _build_sample_run(self, stochastic):
-        """Jitted scan for `sample()`'s static flag combination."""
+        """Jitted scan for `sample()`'s static flag combination
+        (shared builder: latent_diffusion/ddim.py)."""
 
-        @jax.jit
-        def run(params, latents, pairs, cond, key, eta):
-            n = latents.shape[0]
+        def make_eps_fn(params, cond, guidance_scale, n):
+            del guidance_scale  # no CFG; cond = LR image, concat per eval
 
             def eps_fn(latents, index):
                 ts = jnp.full((n,), index, jnp.float32)
@@ -262,32 +263,9 @@ class SuperResolution:
                     ts,
                 )
 
-            def denoise(latents, index, eps):
-                return (
-                    latents - self.sqrt_one_minus_alphas_cumprod(index) * eps
-                ) / jnp.sqrt(self.alphas_cumprod(index))
+            return eps_fn
 
-            def body(carry, pair):
-                latents, key = carry
-                from_i, to_i = pair[0], pair[1]
-                eps = eps_fn(latents, from_i)
-                denoised = denoise(latents, from_i, eps)
-                if stochastic:
-                    key, noise_key = jax.random.split(key)
-                    noise = jax.random.normal(
-                        noise_key, latents.shape, latents.dtype
-                    )
-                else:
-                    noise = jnp.zeros_like(latents)
-                latents = ddim_update(
-                    latents, eps, denoised, self.alphas_cumprod(from_i),
-                    self.alphas_cumprod(to_i), eta, noise,
-                )
-                return (latents, key), None
-
-            (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
-            final_i = pairs[-1, 1]
-            denoised = denoise(latents, final_i, eps_fn(latents, final_i))
+        def decode(params, denoised):
             return diffusion_space.decode(
                 self.first_stage.apply(
                     {"params": params["first_stage"]}, denoised,
@@ -295,4 +273,4 @@ class SuperResolution:
                 )
             )
 
-        return run
+        return build_ldm_sample_run(self, stochastic, make_eps_fn, decode)

@@ -21,7 +21,7 @@ from perceptor_tpu.models.guided_diffusion.config import ADMConfig
 from perceptor_tpu.models.guided_diffusion.unet import ADMUNet
 from perceptor_tpu.models.latent_diffusion import bert as bert_lib
 from perceptor_tpu.models.latent_diffusion import first_stage
-from perceptor_tpu.models.latent_diffusion.ddim import ddim_update
+from perceptor_tpu.models.latent_diffusion.ddim import build_ldm_sample_run
 from perceptor_tpu.models.stable_diffusion.vae import AutoencoderKL
 from perceptor_tpu.predictions import diffusion_space
 from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
@@ -274,7 +274,7 @@ class Text2Image:
         texts: Sequence[str],
         negative_texts: Sequence[str] = ("",),
         n_steps: int = 50,
-        size=(512, 512),
+        size=(256, 256),  # txt2img-1p4B is 256px-native (unet image_size 32 x f8)
         guidance_scale: Optional[float] = None,
         eta: Optional[float] = None,
         key=None,
@@ -324,11 +324,10 @@ class Text2Image:
         )
 
     def _build_sample_run(self, stochastic, use_cfg):
-        """Jitted scan for `sample()`'s static flag combination."""
+        """Jitted scan for `sample()`'s static flag combination
+        (shared builder: latent_diffusion/ddim.py)."""
 
-        @jax.jit
-        def run(params, latents, pairs, cond, key, guidance_scale, eta):
-            n = latents.shape[0]
+        def make_eps_fn(params, cond, guidance_scale, n):
             positive, negative = cond[:n], cond[n:]
 
             def eps_fn(latents, index):
@@ -348,36 +347,12 @@ class Text2Image:
                 eps_cond, eps_neg = jnp.split(stacked, 2)
                 return eps_neg + guidance_scale * (eps_cond - eps_neg)
 
-            def body(carry, pair):
-                latents, key = carry
-                from_i, to_i = pair[0], pair[1]
-                eps = eps_fn(latents, from_i)
-                from_ac = self.alphas_cumprod(from_i)
-                denoised = (
-                    latents - self.sqrt_one_minus_alphas_cumprod(from_i) * eps
-                ) / jnp.sqrt(from_ac)
-                if stochastic:
-                    key, noise_key = jax.random.split(key)
-                    noise = jax.random.normal(
-                        noise_key, latents.shape, latents.dtype
-                    )
-                else:
-                    noise = jnp.zeros_like(latents)
-                latents = ddim_update(
-                    latents, eps, denoised, from_ac,
-                    self.alphas_cumprod(to_i), eta, noise,
-                )
-                return (latents, key), None
+            return eps_fn
 
-            (latents, _), _ = jax.lax.scan(body, (latents, key), pairs)
-            final_i = pairs[-1, 1]
-            eps = eps_fn(latents, final_i)
-            denoised = (
-                latents - self.sqrt_one_minus_alphas_cumprod(final_i) * eps
-            ) / jnp.sqrt(self.alphas_cumprod(final_i))
+        def decode(params, denoised):
             return self.first_stage.apply(
                 {"params": params["first_stage"]}, denoised,
                 method=AutoencoderKL.decode,
             )
 
-        return run
+        return build_ldm_sample_run(self, stochastic, make_eps_fn, decode)

@@ -224,9 +224,22 @@ class VelocityDiffusion:
             self.schedule_ts(n_steps, from_ts=from_ts, to_ts=to_ts),
             jnp.float32,
         )
-        if self.conditioned and conditioning is None:
-            # zero CLIP embedding == the CFG-trained unconditional branch
-            conditioning = jnp.zeros((1, self.config.mapping.clip_dim))
+        if self.conditioned:
+            if conditioning is None:
+                # zero CLIP embedding == the CFG-trained unconditional branch
+                conditioning = jnp.zeros(
+                    (n_images, self.config.mapping.clip_dim)
+                )
+            else:
+                conditioning = jnp.asarray(conditioning)
+                if conditioning.ndim == 3:  # (1, N, D) stacked conditioning
+                    conditioning = conditioning.squeeze(0)
+                if conditioning.shape[0] == 1 and n_images > 1:
+                    # one embedding guides the whole batch (the UNet mapping
+                    # concatenates per-sample, so batch dims must match)
+                    conditioning = jnp.broadcast_to(
+                        conditioning, (n_images, conditioning.shape[1])
+                    )
 
         params = self.params
         if mesh is not None:

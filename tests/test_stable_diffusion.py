@@ -396,16 +396,16 @@ def test_sd_sample_inpainting_replace_diffused():
 
 
 def test_sd_sample_memo_shared_across_scales(tiny_sd):
-    """Sweeping guidance_scale / eta values must NOT grow the compiled-run
-    memo: they are traced arguments, keyed only on program structure."""
+    """ONE jit wrapper per instance: static options ride as static_argnums
+    (jax's jit cache keys the executables), traced guidance_scale/eta
+    values never retrace."""
     tiny_sd.sample(["a photo"], n_steps=2, size=(16, 16), key=jax.random.PRNGKey(0))
-    baseline = len(tiny_sd._sample_runs)
+    run = tiny_sd._sample_run
     for scale in (1.0, 3.5, 7.0):
         tiny_sd.sample(
             ["a photo"], n_steps=2, size=(16, 16), guidance_scale=scale,
             key=jax.random.PRNGKey(0),
         )
-    assert len(tiny_sd._sample_runs) == baseline
     tiny_sd.sample(
         ["a photo"], n_steps=2, size=(16, 16), eta=0.5,
         key=jax.random.PRNGKey(0),
@@ -414,8 +414,7 @@ def test_sd_sample_memo_shared_across_scales(tiny_sd):
         ["a photo"], n_steps=2, size=(16, 16), eta=0.8,
         key=jax.random.PRNGKey(0),
     )
-    # exactly one extra entry: the stochastic=True structure
-    assert len(tiny_sd._sample_runs) == baseline + 1
+    assert tiny_sd._sample_run is run  # the one wrapper, never rebuilt
 
 
 def test_sd_sample_mesh_matches_unsharded(tiny_sd):
@@ -447,7 +446,7 @@ def test_sample_prime_aot():
         name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[])
     )
     assert model.prime(sizes=((64, 64),), n_steps=2) is None
-    assert len(model._sample_runs) == 1
+    run = model._sample_run
     out = model.sample(["a prompt"], n_steps=2, size=(64, 64))
     assert out.shape == (1, 3, 64, 64)
-    assert len(model._sample_runs) == 1  # same program reused
+    assert model._sample_run is run  # same program reused

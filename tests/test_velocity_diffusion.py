@@ -195,6 +195,15 @@ def test_fused_sample_conditioned_defaults_to_zero_embedding():
     out = model.sample(n_images=1, n_steps=2, key=jax.random.PRNGKey(0))
     assert out.shape == (1, *model.shape)
     assert bool(jnp.all(jnp.isfinite(out)))
+    # batch > 1: the default embedding and a single user embedding must
+    # both broadcast to the batch (the UNet mapping concatenates per-sample)
+    out = model.sample(n_images=2, n_steps=2, key=jax.random.PRNGKey(1))
+    assert out.shape == (2, *model.shape)
+    out = model.sample(
+        n_images=2, n_steps=2, conditioning=jnp.ones((1, 8)),
+        key=jax.random.PRNGKey(2),
+    )
+    assert out.shape == (2, *model.shape)
 
 
 def test_fused_sample_mesh_matches_unsharded():
