@@ -267,6 +267,43 @@ class VelocityDiffusion:
             jnp.float32(eta), jnp.float32(churn),
         )
 
+    def export_sample(
+        self,
+        n_images: int = 1,
+        n_steps: int = 50,
+        eta: float = 0.0,
+        churn: float = 0.0,
+        correction: bool = False,
+        platforms=None,
+    ) -> bytes:
+        """Serialize the fused sampler as a portable ``jax.export``
+        artifact (utils/serving.py, docs/SERVING.md). Artifact signature:
+        ``(params, diffused, pairs, conditioning, key, eta, churn) ->
+        images`` — schedule and weights stay arguments; static flags
+        (churn/correction/stochastic) are baked per artifact.
+        ``conditioning`` is the (n_images, clip_dim) CLIP embedding for
+        conditioned checkpoints, absent (None) otherwise."""
+        stochastic = float(eta) > 0.0
+        do_churn = float(churn) > 0.0
+        run = self._build_sample_run(stochastic, do_churn, bool(correction))
+        cond = (
+            jnp.zeros((n_images, self.config.mapping.clip_dim))
+            if self.conditioned
+            else None
+        )
+        from perceptor_tpu.utils import serving
+
+        example = (
+            self.params,
+            jnp.zeros((n_images, *self.shape)),
+            jnp.asarray(self.schedule_ts(n_steps), jnp.float32),
+            cond,
+            jax.random.PRNGKey(0),
+            jnp.float32(eta),
+            jnp.float32(churn),
+        )
+        return serving.serialize_program(run, *example, platforms=platforms)
+
     def _build_sample_run(self, stochastic, do_churn, correction):
         """Jitted scan for `sample()`'s static flag combination."""
 

@@ -123,6 +123,25 @@ def test_export_guided_sample_rejects_plain_callables(tiny_sd):
         )
 
 
+def test_velocity_export_sample_matches_live():
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(6)
+    live = model.sample(n_images=1, n_steps=3, key=key)
+
+    blob = model.export_sample(n_images=1, n_steps=3)
+    call = serving.load_program(blob)
+    init_key, scan_key = jax.random.split(key)
+    diffused = model.random_diffused((1, *model.shape), init_key)
+    pairs = jnp.asarray(model.schedule_ts(3), jnp.float32)
+    served = call(
+        model.params, diffused, pairs, None, scan_key,
+        jnp.float32(0.0), jnp.float32(0.0),
+    )
+    np.testing.assert_allclose(np.asarray(served), np.asarray(live), atol=1e-5)
+
+
 def test_export_sample_cross_platform_lowering(tiny_sd):
     """Build a TPU-loadable artifact on this CPU-only test host."""
     blob = tiny_sd.export_sample(
