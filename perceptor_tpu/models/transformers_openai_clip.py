@@ -29,12 +29,18 @@ from perceptor_tpu.core.init import init_by_shape
 from perceptor_tpu.ops.resize import resize
 from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
 
-# HF model name -> open_clip architecture equivalent
+# HF model name -> open_clip architecture equivalent.  The laion ids are
+# the reference's documented list (transformers_openai_clip.py:38-44);
+# laion2B towers use plain GELU, the openai ones quickgelu.
 NAME_TO_ARCH = {
     "openai/clip-vit-base-patch32": "ViT-B-32-quickgelu",
     "openai/clip-vit-base-patch16": "ViT-B-16-quickgelu",
     "openai/clip-vit-large-patch14": "ViT-L-14-quickgelu",
     "openai/clip-vit-large-patch14-336": "ViT-L-14-336-quickgelu",
+    "laion/CLIP-ViT-H-14-laion2B-s32B-b79K": "ViT-H-14",
+    "laion/CLIP-ViT-g-14-laion2B-s12B-b42K": "ViT-g-14",
+    "laion/CLIP-ViT-L-14-laion2B-s32B-b82K": "ViT-L-14",
+    "laion/CLIP-ViT-B-32-laion2B-s34B-b79K": "ViT-B-32",
 }
 
 

@@ -202,6 +202,7 @@ class VelocityDiffusion:
         to_ts: float = 1e-2,
         mesh=None,
         rules=None,
+        method: str = "ddim",
     ) -> jax.Array:
         """The reference's canonical sampling loop as ONE lax.scan program.
 
@@ -216,7 +217,14 @@ class VelocityDiffusion:
         memoized per static flag combination; ``eta``/``churn`` are
         traced, so sweeping them reuses one executable. Returns the final
         denoised images in [0, 1], shape ``(n_images, *self.shape)``.
+
+        ``method`` selects the sampler: ``"ddim"`` (default, all options
+        above), or the deterministic PNDM pair ``"plms"`` / ``"prk"``
+        (reference sampling.py:137-172 via models/velocity_diffusion/
+        pndm.py; eta/churn/correction do not apply).
         """
+        if method not in ("ddim", "plms", "prk"):
+            raise ValueError(f"unknown sampling method: {method!r}")
         key = key if key is not None else jax.random.PRNGKey(0)
         init_key, scan_key = jax.random.split(key)
         diffused = self.random_diffused((n_images, *self.shape), init_key)
@@ -252,12 +260,24 @@ class VelocityDiffusion:
                 )
             )
 
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        if method != "ddim":
+            if eta or churn or correction:
+                raise ValueError(
+                    f"{method} is deterministic: eta/churn/correction do not apply"
+                )
+            run_key = (method, conditioning is not None)
+            run = runs.get(run_key)
+            if run is None:
+                run = self._build_pndm_run(method)
+                runs[run_key] = run
+            return run(params, diffused, pairs, conditioning)
+
         stochastic = float(eta) > 0.0
         do_churn = float(churn) > 0.0
         run_key = (
             stochastic, do_churn, bool(correction), conditioning is not None
         )
-        runs = self.__dict__.setdefault("_sample_runs", {})
         run = runs.get(run_key)
         if run is None:
             run = self._build_sample_run(stochastic, do_churn, bool(correction))
@@ -303,6 +323,75 @@ class VelocityDiffusion:
             jnp.float32(churn),
         )
         return serving.serialize_program(run, *example, platforms=platforms)
+
+    def _eps_fn(self, params, cond):
+        """Noise-prediction closure over xs in diffusion space
+        (reference sampling.py:90-95: eps = x·σ + v·α)."""
+        from perceptor_tpu.models.velocity_diffusion import pndm
+
+        def eps_fn(xs, ts):
+            v = self._velocities_fn(
+                params, diffusion_space.decode(xs), ts, cond
+            )
+            alphas, sigmas = t_to_alpha_sigma(ts)
+            return (
+                xs * pndm._broadcast(sigmas, xs)
+                + v * pndm._broadcast(alphas, xs)
+            )
+
+        return eps_fn
+
+    def _build_pndm_run(self, method: str):
+        """Jitted PLMS/PRK sampler (pndm.py; reference sampling.py:137-172)."""
+        from perceptor_tpu.models.velocity_diffusion import pndm
+
+        sampler = pndm.plms_sample if method == "plms" else pndm.prk_sample
+
+        @jax.jit
+        def run(params, diffused, pairs, cond):
+            # 1D descending time sequence with the trailing 0 the
+            # reference appends (sampling.py:143/:160)
+            ts = jnp.concatenate(
+                [pairs[:, 0], pairs[-1:, 1], jnp.zeros((1,), jnp.float32)]
+            )
+            xs = diffusion_space.encode(diffused)
+            _, pred = sampler(self._eps_fn(params, cond), xs, ts)
+            return diffusion_space.decode(pred)
+
+        return run
+
+    def reverse_sample(
+        self, images, n_steps: int = 50, conditioning=None,
+        from_ts: float = 1e-2, to_ts: float = 1.0,
+    ) -> jax.Array:
+        """DDIM inversion: the diffused latent that eta=0 sampling decodes
+        back into `images` (reference sampling.py:55-82), fused as one
+        scan. Returns diffused images in [0, 1] at ``to_ts``."""
+        cond = None
+        if conditioning is not None:
+            cond = jnp.asarray(conditioning)
+            if cond.ndim == 3:
+                cond = cond.squeeze(0)
+        ts = jnp.asarray(
+            self.schedule_ts(n_steps, from_ts=to_ts, to_ts=from_ts)[::-1],
+            jnp.float32,
+        )
+        # ascending sequence: reversed (from, to) pairs -> (to[::-1], from[-1])
+        ts = jnp.concatenate([ts[:, 1], ts[-1:, 0]])
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        run_key = ("reverse", cond is not None)
+        run = runs.get(run_key)
+        if run is None:
+            from perceptor_tpu.models.velocity_diffusion import pndm
+
+            @jax.jit
+            def run(params, images, ts, cond):
+                xs = diffusion_space.encode(images)
+                xs = pndm.ddim_reverse_sample(self._eps_fn(params, cond), xs, ts)
+                return diffusion_space.decode(xs)
+
+            runs[run_key] = run
+        return run(self.params, jnp.asarray(images), ts, cond)
 
     def _build_sample_run(self, stochastic, do_churn, correction):
         """Jitted scan for `sample()`'s static flag combination."""

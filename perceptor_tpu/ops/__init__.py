@@ -16,8 +16,10 @@ reliable, the implementation module is named `flash_attention_kernel`
 from perceptor_tpu.ops.attention import attention
 from perceptor_tpu.ops.bias_act import bias_act
 from perceptor_tpu.ops.clamp import clamp_with_grad
+from perceptor_tpu.ops.conv2d_resample import conv2d_resample
 from perceptor_tpu.ops.deform_conv import deform_conv2d
 from perceptor_tpu.ops.filtered_lrelu import filtered_lrelu
+from perceptor_tpu.ops.fma import fma
 from perceptor_tpu.ops.grid_sample import flow_warp, grid_sample
 from perceptor_tpu.ops.groupnorm import group_norm, group_norm_silu
 from perceptor_tpu.ops.resize import resize, resize_matrices
@@ -33,6 +35,8 @@ __all__ = [
     "group_norm_silu",
     "bias_act",
     "upfirdn2d",
+    "conv2d_resample",
+    "fma",
     "filtered_lrelu",
     "deform_conv2d",
     "upsample2x_nearest_conv3x3",

@@ -153,3 +153,15 @@ def test_transformers_clip_same_as_openclip():
     a = hf.encode_images(images)
     b = open_clip.encode_images(images)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)  # bf16 fusion noise
+
+
+def test_laion_hf_names_resolve_to_openclip_archs():
+    """The reference accepts the laion2B HF ids (its docstring list,
+    transformers_openai_clip.py:38-44); each must map onto a known
+    open_clip architecture config (plain GELU for laion towers)."""
+    from perceptor_tpu.models.clip import configs as clip_configs
+    from perceptor_tpu.models.transformers_openai_clip import NAME_TO_ARCH
+
+    for name, arch in NAME_TO_ARCH.items():
+        config = clip_configs.get_config(arch)
+        assert config.quick_gelu == name.startswith("openai/"), name
