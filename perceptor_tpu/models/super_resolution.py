@@ -8,9 +8,11 @@ pixel-shuffle + nearest base), the checkpoint table
 (super_resolution.py:13-38), and the UNet spectral-norm discriminator
 (losses/super_resolution/unet_discriminator_sn.py:6-66).
 
-The reference's tiled RealESRGANer.enhance (real_esrganer.py:80) exists to
-fit CUDA memory; on TPU full-frame convs are preferred — `upsample()` runs
-the whole image (XLA handles the memory), keeping the op differentiable.
+`upsample()` runs the whole frame (preferred on TPU — XLA handles the
+memory for typical sizes). `enhance()` is the full RealESRGANer pipeline
+(real_esrganer.py:50-186): reflect pre-pad, mod-scale pad, and for frames
+too large for HBM a tiled mode (`tile_size>0`) that runs the uniform tile
+grid as ONE `lax.scan` program — still differentiable.
 """
 
 from __future__ import annotations
@@ -332,13 +334,107 @@ class SuperResolution:
         )
 
     def upsample(self, images) -> jax.Array:
-        """Full-frame differentiable upsample (reference :148-152; the tiled
-        RealESRGANer path is a CUDA-memory workaround, unnecessary here)."""
+        """Full-frame differentiable upsample (reference :148-152)."""
         return self._jit(self.params, images)
 
     __call__ = upsample
     forward = upsample
-    enhance = upsample
+
+    def enhance(
+        self,
+        images,
+        tile_size: int = 0,
+        tile_pad: int = 10,
+        pre_pad: int = 10,
+    ) -> jax.Array:
+        """The reference RealESRGANer.enhance pipeline
+        (super_resolution/real_esrganer.py:50-186): reflect pre-pad,
+        mod-scale divisibility pad, optional tiled processing
+        (`tile_size>0`, tile_process :80-150), output crop (:153-170).
+
+        TPU-first tiling: the frame is reflect-padded up to a whole tile
+        grid so every tile has ONE static shape, then all tiles run in a
+        single `lax.scan` program (the torch original loops variable-size
+        tiles on the host). Border tiles therefore see reflected context
+        instead of the reference's truncated windows — at least as much
+        real content, one compiled executable. Fully differentiable.
+        """
+        images = jnp.asarray(images)
+        run = self.__dict__.get("_jit_enhance")
+        if run is None:
+            import functools
+
+            run = functools.partial(jax.jit, static_argnums=(2, 3, 4))(
+                self._enhance_fn
+            )
+            self.__dict__["_jit_enhance"] = run
+        return run(self.params, images, int(tile_size), int(tile_pad),
+                   int(pre_pad))
+
+    def _enhance_fn(self, params, images, tile_size, tile_pad, pre_pad):
+        scale = self.scale
+        h_in, w_in = images.shape[-2:]
+        x = images
+        if pre_pad:
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (0, pre_pad), (0, pre_pad)), mode="reflect"
+            )
+        mod = {1: 4, 2: 2}.get(scale)
+        if mod is not None:
+            h, w = x.shape[-2:]
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, 0), (0, -h % mod), (0, -w % mod)),
+                mode="reflect",
+            )
+
+        if tile_size <= 0:
+            out = self.module.apply({"params": params}, x)
+        else:
+            out = self._tiled_apply(params, x, tile_size, tile_pad)
+        return out[..., : h_in * scale, : w_in * scale]
+
+    def _tiled_apply(self, params, x, tile_size, tile_pad):
+        """Uniform-tile grid as one lax.scan (reference tile_process
+        :80-150, re-gridded for static shapes)."""
+        scale = self.scale
+        n, c, h0, w0 = x.shape
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, -h0 % tile_size), (0, -w0 % tile_size)),
+            mode="reflect",
+        )
+        h, w = x.shape[-2:]
+        tiles_y, tiles_x = h // tile_size, w // tile_size
+        win_h = min(tile_size + 2 * tile_pad, h)
+        win_w = min(tile_size + 2 * tile_pad, w)
+
+        def body(canvas, i):
+            ty, tx = i // tiles_x, i % tiles_x
+            ofs_y, ofs_x = ty * tile_size, tx * tile_size
+            # fixed-size context window, clamped inside the frame (the
+            # reference shrinks border windows instead; same interior)
+            sy = jnp.clip(ofs_y - tile_pad, 0, h - win_h)
+            sx = jnp.clip(ofs_x - tile_pad, 0, w - win_w)
+            tile = jax.lax.dynamic_slice(
+                x, (0, 0, sy, sx), (n, c, win_h, win_w)
+            )
+            up = self.module.apply({"params": params}, tile)
+            center = jax.lax.dynamic_slice(
+                up,
+                (0, 0, (ofs_y - sy) * scale, (ofs_x - sx) * scale),
+                (n, c, tile_size * scale, tile_size * scale),
+            )
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, center, (0, 0, ofs_y * scale, ofs_x * scale)
+            )
+            return canvas, None
+
+        canvas = jnp.zeros((n, c, h * scale, w * scale), x.dtype)
+        canvas, _ = jax.lax.scan(
+            body, canvas, jnp.arange(tiles_y * tiles_x)
+        )
+        return canvas[..., : h0 * scale, : w0 * scale]
 
     def upsample_fn(self, params, images) -> jax.Array:
         return self.module.apply({"params": params}, images)

@@ -126,3 +126,46 @@ def test_sr_loss_and_discriminator():
     disc = losses.SuperResolutionDiscriminator()
     value = disc.forward(images)
     assert np.isfinite(float(value))
+
+
+def test_enhance_pipeline_shapes_and_crops():
+    """enhance() reproduces the reference RealESRGANer pipeline shape
+    contract (real_esrganer.py:50-186): pre-pad + mod-pad are cropped so
+    the output is exactly (H*scale, W*scale) for any input size."""
+    model = SuperResolution("tiny", half=False)  # scale 2 -> mod_scale 2
+    for h, w in [(17, 23), (16, 16)]:
+        images = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, h, w))
+        out = model.enhance(images)
+        assert out.shape == (1, 3, h * 2, w * 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_enhance_no_padding_equals_upsample():
+    model = SuperResolution("tiny", half=False)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16))
+    np.testing.assert_allclose(
+        np.asarray(model.enhance(images, pre_pad=0)),
+        np.asarray(model.upsample(images)),
+        atol=1e-5,
+    )
+
+
+def test_enhance_tiled_full_context_matches_untiled():
+    """With tile_pad covering the whole frame every window IS the frame,
+    so tiling must be exact (validates the slice/paste arithmetic)."""
+    model = SuperResolution("tiny", half=False)
+    images = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 32, 32))
+    full = model.enhance(images, pre_pad=0)
+    tiled = model.enhance(images, tile_size=16, tile_pad=16, pre_pad=0)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-4)
+
+
+def test_enhance_tiled_differentiable_and_uneven_grid():
+    model = SuperResolution("tiny", half=False)
+    images = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 20, 28))
+    out = model.enhance(images, tile_size=16, tile_pad=4)
+    assert out.shape == (1, 3, 40, 56)
+    g = jax.grad(
+        lambda im: jnp.sum(model._enhance_fn(model.params, im, 16, 4, 10) ** 2)
+    )(images)
+    assert g.shape == images.shape and bool(jnp.any(g != 0))
