@@ -97,6 +97,28 @@ class PredictionAlgebra:
             self.denoised_xs * to_alphas + self.predicted_noise * to_sigmas
         )
 
+    def dpm_solver_pp_step(self, to, prev_denoised_xs, prev_h, is_first):
+        """DPM-Solver++(2M) multistep update (predictions/dpm_solver.py;
+        arXiv:2211.01095 — beyond-reference sampler, ~20 evals for
+        50-step-DDIM quality).  Carry `denoised_xs` and the returned `h`
+        into the next step; `is_first` selects the first-order update.
+
+        Returns (next_state_decoded, h)."""
+        from perceptor_tpu.predictions.dpm_solver import dpm_pp_2m_update
+
+        to_xs, h = dpm_pp_2m_update(
+            self.from_xs,
+            self.denoised_xs,
+            prev_denoised_xs,
+            prev_h,
+            self.from_alphas,
+            self.from_sigmas,
+            self.alphas(to),
+            self.sigmas(to),
+            is_first,
+        )
+        return self._decode_xs(to_xs), h
+
     def resample_noise(self, resample, key):
         """RePaint harmonizing noise (reference predictions.py:119-130)."""
         resample_sigmas = self.sigmas(resample)
