@@ -171,13 +171,20 @@ class GuidedDiffusion:
         init_images=None,
         mesh=None,
         rules=None,
+        method: str = "ddim",
     ) -> jax.Array:
         """The reference's sampling loop (its test loop, reference
         guided_diffusion.py:158-196: predictions -> DDIM step per pair,
         final denoised_images; rho=3.0 there) fused into ONE memoized
         lax.scan program. ``init_images`` + ``from_index < 999`` gives
-        img2img (the reference's init-image test, :199-227). Returns the
-        final denoised images in [0, 1]."""
+        img2img (the reference's init-image test, :199-227).
+        ``method="dpm++"`` swaps the DDIM update for DPM-Solver++(2M)
+        (deterministic; rejects eta>0). Returns the final denoised images
+        in [0, 1]."""
+        if method not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampling method: {method!r}")
+        if method == "dpm++" and float(eta) > 0.0:
+            raise ValueError("dpm++ is deterministic: eta does not apply")
         key = key if key is not None else jax.random.PRNGKey(0)
         init_key, scan_key = jax.random.split(key)
         size = size if size is not None else self.shape[1:]
@@ -201,13 +208,13 @@ class GuidedDiffusion:
             )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get(stochastic)
+        run = runs.get((stochastic, method))
         if run is None:
-            run = self._build_sample_run(stochastic)
-            runs[stochastic] = run
+            run = self._build_sample_run(stochastic, method)
+            runs[(stochastic, method)] = run
         return run(params, diffused, pairs, scan_key, jnp.float32(eta))
 
-    def _build_sample_run(self, stochastic):
+    def _build_sample_run(self, stochastic, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination."""
 
         @jax.jit
@@ -219,10 +226,19 @@ class GuidedDiffusion:
                     params, diffused, jnp.broadcast_to(indices, (n,))
                 )
 
-            def body(carry, pair):
-                diffused, key = carry
+            def body(carry, step_input):
+                i, pair = step_input
+                if method == "dpm++":
+                    diffused, prev_x0, prev_h, key = carry
+                else:
+                    diffused, key = carry
                 predictions = predict(diffused, pair[0])
                 to_idx = jnp.broadcast_to(pair[1], (n,))
+                if method == "dpm++":
+                    stepped, prev_h = predictions.dpm_solver_pp_step(
+                        to_idx, prev_x0, prev_h, i == 0
+                    )
+                    return (stepped, predictions.denoised_xs, prev_h, key), None
                 if stochastic:
                     key, step_key = jax.random.split(key)
                     stepped = predictions.step(to_idx, eta=eta, key=step_key)
@@ -230,7 +246,17 @@ class GuidedDiffusion:
                     stepped = predictions.step(to_idx)
                 return (stepped, key), None
 
-            (diffused, _), _ = jax.lax.scan(body, (diffused, key), pairs)
+            steps = (jnp.arange(pairs.shape[0]), pairs)
+            if method == "dpm++":
+                carry0 = (
+                    diffused,
+                    jnp.zeros_like(diffused),
+                    jnp.ones((n, 1, 1, 1), diffused.dtype),
+                    key,
+                )
+                (diffused, *_), _ = jax.lax.scan(body, carry0, steps)
+            else:
+                (diffused, _), _ = jax.lax.scan(body, (diffused, key), steps)
             return predict(diffused, pairs[-1, 1]).denoised_images
 
         return run

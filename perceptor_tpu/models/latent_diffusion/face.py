@@ -213,13 +213,19 @@ class Face:
         to_index: int = 50,
         mesh=None,
         rules=None,
+        method: str = "ddim",
     ) -> jax.Array:
         """Unconditional face sampling (the reference's user loop over
         denoise/step, reference face.py:87-110) as ONE memoized lax.scan
         program: per pair eps -> denoise -> DDIM step, final denoise ->
         VQ first-stage decode. ``eta`` defaults to the constructor field
-        and is traced. Returns images in [0, 1]."""
+        and is traced. ``method="dpm++"`` swaps in DPM-Solver++(2M)
+        (deterministic; rejects eta>0). Returns images in [0, 1]."""
         eta = self.eta if eta is None else eta
+        if method not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampling method: {method!r}")
+        if method == "dpm++" and float(eta) > 0.0:
+            raise ValueError("dpm++ is deterministic: eta does not apply")
         key = key if key is not None else jax.random.PRNGKey(0)
         init_key, scan_key = jax.random.split(key)
         latents = self.random_latents((n_images, 3, *size), init_key)
@@ -235,16 +241,16 @@ class Face:
             )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get(stochastic)
+        run = runs.get((stochastic, method))
         if run is None:
-            run = self._build_sample_run(stochastic)
-            runs[stochastic] = run
+            run = self._build_sample_run(stochastic, method)
+            runs[(stochastic, method)] = run
         return run(
             params, latents, pairs, None, scan_key, jnp.float32(0.0),
             jnp.float32(eta),
         )
 
-    def _build_sample_run(self, stochastic):
+    def _build_sample_run(self, stochastic, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination
         (shared builder: latent_diffusion/ddim.py)."""
 
@@ -265,4 +271,6 @@ class Face:
                 )
             )
 
-        return build_ldm_sample_run(self, stochastic, make_eps_fn, decode)
+        return build_ldm_sample_run(
+            self, stochastic, make_eps_fn, decode, method=method
+        )

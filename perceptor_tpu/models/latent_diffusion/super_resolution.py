@@ -208,16 +208,25 @@ class SuperResolution:
     # -- fused sampler ---------------------------------------------------------
 
     def sample(self, images, n_steps=50, eta=None, key=None,
-               from_index=999, to_index=0, mesh=None, rules=None):
+               from_index=999, to_index=0, mesh=None, rules=None,
+               method="ddim"):
         """Super-resolution sampling conditioned on ``images`` (the LR
         content on the HR canvas, e.g. ``upsample(lr)``) — the reference's
         BSR user loop (eps/denoise/step conditioned on the LR image,
         reference super_resolution.py:99-175) as ONE memoized lax.scan
         program: noise latents -> per pair eps(concat cond) -> denoise ->
         DDIM step -> final denoise -> VQ decode. ``eta`` defaults to the
-        constructor field (1.0 for BSR) and is traced. Returns images in
+        constructor field (1.0 for BSR) and is traced. ``method="dpm++"``
+        swaps in DPM-Solver++(2M) (deterministic; rejects eta>0 — pass
+        eta=0 explicitly since BSR defaults to 1.0). Returns images in
         [0, 1] at the input canvas size."""
         eta = self.eta if eta is None else eta
+        if method not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampling method: {method!r}")
+        if method == "dpm++" and float(eta) > 0.0:
+            raise ValueError(
+                "dpm++ is deterministic: eta does not apply (pass eta=0)"
+            )
         key = key if key is not None else jax.random.PRNGKey(0)
         init_key, scan_key = jax.random.split(key)
         cond = self.conditioning(images)
@@ -239,16 +248,16 @@ class SuperResolution:
             )
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get(stochastic)
+        run = runs.get((stochastic, method))
         if run is None:
-            run = self._build_sample_run(stochastic)
-            runs[stochastic] = run
+            run = self._build_sample_run(stochastic, method)
+            runs[(stochastic, method)] = run
         return run(
             params, latents, pairs, cond, scan_key, jnp.float32(0.0),
             jnp.float32(eta),
         )
 
-    def _build_sample_run(self, stochastic):
+    def _build_sample_run(self, stochastic, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination
         (shared builder: latent_diffusion/ddim.py)."""
 
@@ -273,4 +282,6 @@ class SuperResolution:
                 )
             )
 
-        return build_ldm_sample_run(self, stochastic, make_eps_fn, decode)
+        return build_ldm_sample_run(
+            self, stochastic, make_eps_fn, decode, method=method
+        )

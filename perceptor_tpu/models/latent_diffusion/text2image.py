@@ -282,18 +282,26 @@ class Text2Image:
         to_index: int = 50,
         mesh=None,
         rules=None,
+        method: str = "ddim",
     ) -> jax.Array:
         """The reference's sampling loop (its test loop, reference
         text2image.py:164-179: per pair eps-with-built-in-CFG -> denoise
         -> DDIM step; final denoise -> first-stage decode) fused into ONE
         lax.scan program. ``guidance_scale``/``eta`` default to the
         constructor fields and are TRACED (sweeping them reuses one
-        executable; only eta==0 vs >0 and CFG on/off retrace). Returns
-        images in [0, 1]."""
+        executable; only eta==0 vs >0 and CFG on/off retrace).
+        ``method="dpm++"`` swaps the DDIM update for DPM-Solver++(2M)
+        (predictions/dpm_solver.py) — same cost per step, usable at ~20
+        steps; deterministic, so it rejects eta>0. Returns images in
+        [0, 1]."""
         guidance_scale = (
             self.guidance_scale if guidance_scale is None else guidance_scale
         )
         eta = self.eta if eta is None else eta
+        if method not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampling method: {method!r}")
+        if method == "dpm++" and float(eta) > 0.0:
+            raise ValueError("dpm++ is deterministic: eta does not apply")
         key = key if key is not None else jax.random.PRNGKey(0)
         init_key, scan_key = jax.random.split(key)
         latents = self.random_latents((len(texts), 3, *size), init_key)
@@ -313,17 +321,17 @@ class Text2Image:
         stochastic = float(eta) > 0.0
         use_cfg = not (guidance_scale is None or guidance_scale == 1.0)
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get((stochastic, use_cfg))
+        run = runs.get((stochastic, use_cfg, method))
         if run is None:
-            run = self._build_sample_run(stochastic, use_cfg)
-            runs[(stochastic, use_cfg)] = run
+            run = self._build_sample_run(stochastic, use_cfg, method)
+            runs[(stochastic, use_cfg, method)] = run
         return run(
             params, latents, pairs, cond, scan_key,
             jnp.float32(1.0 if guidance_scale is None else guidance_scale),
             jnp.float32(eta),
         )
 
-    def _build_sample_run(self, stochastic, use_cfg):
+    def _build_sample_run(self, stochastic, use_cfg, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination
         (shared builder: latent_diffusion/ddim.py)."""
 
@@ -355,4 +363,6 @@ class Text2Image:
                 method=AutoencoderKL.decode,
             )
 
-        return build_ldm_sample_run(self, stochastic, make_eps_fn, decode)
+        return build_ldm_sample_run(
+            self, stochastic, make_eps_fn, decode, method=method
+        )

@@ -235,6 +235,64 @@ class MonsterDiffusion:
 
     elucidated_sample = sample
 
+    def dpm_solver_sample(
+        self, size, n_evaluations=100, key=None, diffused_images=None
+    ):
+        """DPM-Solver++(2M) deterministic sampler as ONE compiled lax.scan
+        (beyond-reference; predictions/dpm_solver.py).  One model eval per
+        step over the same Karras sigma grid, so ``n_evaluations`` buys
+        ``n_evaluations`` steps — vs 2 evals/step for the elucidated Heun
+        sampler (reference :212-268)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if diffused_images is None:
+            diffused_images = self.random_noise(size, key)
+        n_steps = n_evaluations
+        pairs = jnp.asarray(self.schedule_ts(n_steps))
+        augmentations = jnp.zeros((size, N_AUGMENTATIONS), jnp.float32)
+
+        runs = self.__dict__.setdefault("_dpm_sample_runs", {})
+        run = runs.get((size, n_steps))
+        if run is None:
+
+            def make_predictions(params, images, ts):
+                return EDMPredictions(
+                    denoised_xs=self.denoised_fn(
+                        params, images, ts, augmentations
+                    ),
+                    diffused_images=images,
+                    ts=ts,
+                )
+
+            @jax.jit
+            def run(params, diffused_images):
+                def body(carry, step_input):
+                    i, pair = step_input
+                    images, prev_x0, prev_h = carry
+                    from_ts = jnp.broadcast_to(pair[0], (size,))
+                    to_ts = jnp.broadcast_to(pair[1], (size,))
+                    predictions = make_predictions(params, images, from_ts)
+                    images, prev_h = predictions.dpm_solver_pp_step(
+                        to_ts, prev_x0, prev_h, i == 0
+                    )
+                    return (images, predictions.denoised_xs, prev_h), None
+
+                steps = (jnp.arange(pairs.shape[0]), pairs)
+                carry0 = (
+                    diffused_images,
+                    jnp.zeros((size, *self.shape), diffused_images.dtype),
+                    jnp.ones((size, 1, 1, 1), diffused_images.dtype),
+                )
+                (images, *_), _ = jax.lax.scan(body, carry0, steps)
+                final_ts = jnp.broadcast_to(pairs[-1, 1], (size,))
+                return jnp.clip(
+                    make_predictions(params, images, final_ts).denoised_images,
+                    0,
+                    1,
+                )
+
+            runs[(size, n_steps)] = run
+        return run(self.params, diffused_images)
+
     @staticmethod
     def linear_multistep_coeff(order, sigmas, from_index, to_index):
         """Reference :273-290 (host-side scipy quadrature)."""

@@ -146,3 +146,138 @@ def test_velocity_sample_dpm_method():
     )
     assert images.shape == (2, *model.shape)
     assert bool(jnp.all(jnp.isfinite(images)))
+
+
+def test_guided_diffusion_sample_dpm_matches_algebra():
+    """ADM fused sample(method="dpm++") must equal the host per-step loop
+    through predictions.dpm_solver_pp_step."""
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+
+    model = GuidedDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(4)
+    out = model.sample(
+        n_images=1, n_steps=4, size=(32, 32), key=key, rho=3.0,
+        method="dpm++",
+    )
+
+    init_key, _ = jax.random.split(key)
+    diffused = model.random_diffused((1, 3, 32, 32), init_key)
+    pairs = model.schedule_indices(n_steps=4, rho=3.0)
+    prev_x0 = jnp.zeros_like(diffused)
+    prev_h = jnp.ones((1, 1, 1, 1))
+    for i, (from_i, to_i) in enumerate(pairs):
+        p = model.predictions(diffused, int(from_i))
+        diffused, prev_h = p.dpm_solver_pp_step(
+            jnp.asarray([int(to_i)]), prev_x0, prev_h, i == 0
+        )
+        prev_x0 = p.denoised_xs
+    expected = model.predictions(diffused, int(pairs[-1, 1])).denoised_images
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-4
+    )
+    with pytest.raises(ValueError):
+        model.sample(method="dpm++", eta=0.5)
+    with pytest.raises(ValueError):
+        model.sample(method="plms2")
+
+
+def test_text2image_sample_dpm_matches_host_loop():
+    """LDM fused sample(method="dpm++") (shared builder in
+    latent_diffusion/ddim.py) must equal the host loop through
+    dpm_pp_2m_update over the same alphas-cumprod grid, CFG included."""
+    from perceptor_tpu.models.latent_diffusion import BERTTokenizer, Text2Image
+
+    tokenizer = BERTTokenizer(
+        vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "cat"], max_length=16
+    )
+    model = Text2Image(
+        fp16=False, tiny=True, tokenizer=tokenizer, guidance_scale=3.0
+    )
+    key = jax.random.PRNGKey(5)
+    out = model.sample(
+        ["a cat"], n_steps=4, size=(64, 64), key=key,
+        from_index=999, to_index=500, method="dpm++",
+    )
+
+    init_key, _ = jax.random.split(key)
+    latents = model.random_latents((1, 3, 64, 64), init_key)
+    cond = model.conditioning(["a cat"])
+    prev_x0 = jnp.zeros_like(latents)
+    prev_h = jnp.ones((1, 1, 1, 1))
+    pairs = model.schedule_indices(999, 500, 4)
+    for i, (from_i, to_i) in enumerate(pairs):
+        denoised = model.denoise(latents, int(from_i), cond)
+        from_ac = model.alphas_cumprod(int(from_i))
+        to_ac = model.alphas_cumprod(int(to_i))
+        latents, prev_h = dpm_pp_2m_update(
+            latents, denoised, prev_x0, prev_h,
+            jnp.sqrt(from_ac), jnp.sqrt(1.0 - from_ac),
+            jnp.sqrt(to_ac), jnp.sqrt(1.0 - to_ac),
+            i == 0,
+        )
+        prev_x0 = denoised
+    expected = model.images(model.denoise(latents, 500, cond))
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=1e-5
+    )
+    with pytest.raises(ValueError):
+        model.sample(["a"], method="dpm++", eta=1.0)
+
+
+def test_monster_dpm_solver_sample_matches_algebra():
+    """MonsterDiffusion.dpm_solver_sample (one lax.scan) must equal the
+    host per-step loop through EDMPredictions.dpm_solver_pp_step."""
+    from perceptor_tpu.models.monster_diffusion import MonsterDiffusion
+
+    model = MonsterDiffusion(name="tiny", fp16=False)
+    key = jax.random.PRNGKey(7)
+    out = model.dpm_solver_sample(size=1, n_evaluations=5, key=key)
+
+    images = model.random_noise(1, key)
+    pairs = model.schedule_ts(5)
+    prev_x0 = jnp.zeros_like(images)
+    prev_h = jnp.ones((1, 1, 1, 1))
+    for i, (from_t, to_t) in enumerate(pairs):
+        p = model.predictions(images, jnp.full((1,), from_t))
+        images, prev_h = p.dpm_solver_pp_step(
+            jnp.full((1,), to_t), prev_x0, prev_h, i == 0
+        )
+        prev_x0 = p.denoised_xs
+    expected = jnp.clip(
+        model.predictions(images, jnp.full((1,), pairs[-1, 1])).denoised_images,
+        0, 1,
+    )
+
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-5
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_face_and_bsr_sample_dpm_method():
+    from perceptor_tpu.models.latent_diffusion import Face, SuperResolution
+
+    face = Face(fp16=False, tiny=True)
+    out = face.sample(
+        n_images=1, n_steps=3, size=(64, 64), key=jax.random.PRNGKey(0),
+        from_index=999, to_index=500, method="dpm++",
+    )
+    assert out.shape == (1, 3, 64, 64)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    bsr = SuperResolution(fp16=False, tiny=True)  # eta defaults to 1.0
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16))
+    hr_canvas = bsr.upsample(lr)
+    with pytest.raises(ValueError):
+        bsr.sample(hr_canvas, method="dpm++")  # eta=1.0 default rejected
+    out = bsr.sample(
+        hr_canvas, n_steps=3, eta=0.0, key=jax.random.PRNGKey(2),
+        from_index=999, to_index=500, method="dpm++",
+    )
+    assert out.shape == hr_canvas.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
