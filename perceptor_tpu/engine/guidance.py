@@ -73,6 +73,10 @@ def make_guidance_step(
     synth_plain = (
         synthesize.synthesize if hasattr(synthesize, "synthesize") else synthesize
     )
+    # drawer-level param penalty (DeepImagePrior's L1 residual, reference
+    # drawers/deep_image_prior.py:22-23): users of the reference add
+    # `drawer.loss()` to the objective; here it joins the fused total
+    penalty_fn = getattr(synthesize, "loss", None)
 
     def total_loss(params, frozen):
         synth_p, loss_p = frozen
@@ -87,6 +91,8 @@ def make_guidance_step(
             )
         values = jnp.stack(values)
         total = jnp.sum(values * jnp.asarray(weights))
+        if penalty_fn is not None:
+            total = total + penalty_fn(params)
         return total, values
 
     @jax.jit
@@ -400,6 +406,8 @@ def run_on_device(
     synth_plain = (
         synthesize.synthesize if hasattr(synthesize, "synthesize") else synthesize
     )
+    # drawer-level param penalty (see make_guidance_step)
+    penalty_fn = getattr(synthesize, "loss", None)
 
     def total_loss(p, frozen):
         synth_p, loss_p = frozen
@@ -412,7 +420,10 @@ def run_on_device(
             values.append(
                 apply_fn(lp, images) if apply_fn is not None else loss(images)
             )
-        return jnp.sum(jnp.stack(values) * jnp.asarray(weights))
+        total = jnp.sum(jnp.stack(values) * jnp.asarray(weights))
+        if penalty_fn is not None:
+            total = total + penalty_fn(p)
+        return total
 
     @jax.jit
     def run(params, frozen):

@@ -352,3 +352,34 @@ def test_guided_sample_drives_adm_family(clip_loss):
     )
     assert final.shape == diffused.shape
     assert bool(jnp.all(jnp.isfinite(final)))
+
+
+def test_drawer_param_penalty_joins_fused_objective():
+    """A drawer exposing `loss(params)` (DeepImagePrior's L1 residual,
+    reference drawers/deep_image_prior.py:22-23) contributes to the fused
+    total in both make_guidance_step and run_on_device."""
+    drawer = drawers.DeepImagePrior(size=(16, 16), seed=0)
+
+    def image_loss(images):
+        return jnp.square(images).mean()
+
+    # run_on_device path: gradient of the penalty must reach the residual
+    # images param even when the image loss is insensitive to it
+    params, history = engine.run_on_device(
+        drawer, [image_loss], drawer.params, n_steps=2
+    )
+    assert bool(jnp.all(jnp.isfinite(history)))
+
+    # the penalty value itself is in the reported total: compare the fused
+    # total against the image loss alone at the initial params
+    step, frozen = engine.make_guidance_step(
+        drawer, [image_loss], optax.sgd(0.0)
+    )
+    opt_state = optax.sgd(0.0).init(drawer.params)
+    _, _, aux = step(drawer.params, opt_state, frozen)
+    expected_total = image_loss(drawer.synthesize(drawer.params)) + drawer.loss(
+        drawer.params
+    )
+    np.testing.assert_allclose(
+        float(aux["loss"]), float(expected_total), rtol=1e-5
+    )
