@@ -49,10 +49,12 @@ class GuidedDiffusion:
         path = find_checkpoint(f"guided_diffusion_{self.name}", self.name)
         if path is not None:
             from perceptor_tpu.models.guided_diffusion import convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
-            return jax.device_put(
-                convert.from_torch(load_state_dict(path)), jax.devices()[0]
-            )
+            sd = load_state_dict(path)
+            native = native_params(sd)
+            params = native if native is not None else convert.from_torch(sd)
+            return jax.device_put(params, jax.devices()[0])
         size = min(self.config.image_size, 64)
         return init_by_shape(
             self.module.init,

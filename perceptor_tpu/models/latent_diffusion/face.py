@@ -77,8 +77,12 @@ class Face:
         path = find_checkpoint("latent_diffusion_face", "celebahq-ldm-vq-4")
         if path is not None:
             from perceptor_tpu.models.guided_diffusion import convert as adm_convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
             sd = load_state_dict(path)
+            native = native_params(sd)
+            if native is not None:
+                return jax.device_put(native, jax.devices()[0])
             unet_sd = {
                 k[len("model.diffusion_model."):]: v
                 for k, v in sd.items()

@@ -88,8 +88,12 @@ class SuperResolution:
         path = find_checkpoint("latent_diffusion_super_resolution", "sharpen-colab")
         if path is not None:
             from perceptor_tpu.models.guided_diffusion import convert as adm_convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
             sd = load_state_dict(path)
+            native = native_params(sd)
+            if native is not None:
+                return jax.device_put(native, jax.devices()[0])
             unet_sd = {
                 k[len("model.diffusion_model."):]: v
                 for k, v in sd.items()

@@ -107,7 +107,12 @@ class Text2Image:
     def _load_or_init_params(self):
         path = find_checkpoint("latent_diffusion_text2image", "txt2img-1p4B")
         if path is not None:
-            return jax.device_put(self._convert(load_state_dict(path)), jax.devices()[0])
+            from perceptor_tpu.utils.checkpoints import native_params
+
+            sd = load_state_dict(path)
+            native = native_params(sd)
+            params = native if native is not None else self._convert(sd)
+            return jax.device_put(params, jax.devices()[0])
         size = 8
         key = jax.random.PRNGKey(0)
         return {

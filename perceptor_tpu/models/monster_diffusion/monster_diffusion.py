@@ -49,11 +49,15 @@ class MonsterDiffusion:
         path = find_checkpoint(f"monster_diffusion_{self.name}", self.name)
         if path is not None:
             from perceptor_tpu.models.monster_diffusion import convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
-            return jax.device_put(
-                convert.from_torch(load_state_dict(path), self.config),
-                jax.devices()[0],
+            sd = load_state_dict(path)
+            native = native_params(sd)
+            params = (
+                native if native is not None
+                else convert.from_torch(sd, self.config)
             )
+            return jax.device_put(params, jax.devices()[0])
         return init_by_shape(
             self.module.init,
             jax.random.PRNGKey(0),

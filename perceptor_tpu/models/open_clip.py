@@ -58,8 +58,13 @@ class OpenCLIP:
             f"{architecture}-{weights}",
         )
         if path is not None:
+            from perceptor_tpu.utils.checkpoints import native_params
+
             state_dict = load_state_dict(path)
-            if any(k.startswith("vision_model.") for k in state_dict):
+            native = native_params(state_dict)
+            if native is not None:
+                params = native
+            elif any(k.startswith("vision_model.") for k in state_dict):
                 params = clip_convert.from_hf(state_dict, self.config)
             else:
                 params = clip_convert.from_openclip(state_dict, self.config)

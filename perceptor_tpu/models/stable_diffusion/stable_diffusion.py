@@ -223,8 +223,12 @@ class StableDiffusion:
         )
         if path is not None:
             from perceptor_tpu.models.stable_diffusion import convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
             sd = load_state_dict(path)
+            native = native_params(sd)
+            if native is not None:  # pre-converted artifact (utils.checkpoints)
+                return native
             sd = sd.get("state_dict", sd)
             is_compvis = any(
                 k.startswith("model.diffusion_model.") for k in sd

@@ -55,8 +55,14 @@ class VelocityDiffusion:
         path = find_checkpoint(f"velocity_diffusion_{self.name}", self.name)
         if path is not None:
             from perceptor_tpu.models.velocity_diffusion import convert
+            from perceptor_tpu.utils.checkpoints import native_params
 
-            params = convert.from_torch(load_state_dict(path), self.config)
+            sd = load_state_dict(path)
+            native = native_params(sd)
+            params = (
+                native if native is not None
+                else convert.from_torch(sd, self.config)
+            )
             return jax.device_put(params, jax.devices()[0])
         size = min(self.config.image_size[0], 64)
         kwargs = {}

@@ -80,3 +80,59 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         else:
             out[key] = np.asarray(value)
     return out
+
+
+# -- native pre-converted artifacts ------------------------------------------------
+
+NATIVE_FORMAT_KEY = "__perceptor_tpu_format__"
+_NATIVE_FORMAT = "params-v1"
+
+
+def flatten_params(params: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested flax param tree -> flat {'a/b/c': array} dict."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in params.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, dict):
+            out.update(flatten_params(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
+    """Inverse of flatten_params."""
+    out: Dict = {}
+    for path, value in flat.items():
+        node = out
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return out
+
+
+def save_params(path: str, params: Dict) -> None:
+    """Write a pre-converted native-params artifact (.npz).
+
+    The artifact is the wrapper's own (nested, NHWC/flax-layout) param
+    tree, flattened with '/' separators plus a format sentinel — wrappers
+    load it directly with no torch-layout conversion (and no torch
+    dependency at serving time). Produced by `python -m
+    perceptor_tpu.convert`."""
+    flat = flatten_params(params)
+    flat[NATIVE_FORMAT_KEY] = np.asarray(_NATIVE_FORMAT)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    np.savez(path, **flat)
+
+
+def native_params(state_dict: Dict[str, np.ndarray]) -> Optional[Dict]:
+    """Return the nested param tree if `state_dict` is a native
+    pre-converted artifact (see save_params), else None."""
+    if NATIVE_FORMAT_KEY not in state_dict:
+        return None
+    flat = {
+        k: v for k, v in state_dict.items() if k != NATIVE_FORMAT_KEY
+    }
+    return unflatten_params(flat)
