@@ -18,6 +18,10 @@ from perceptor_tpu.parallel.mesh import (
     AXIS_CONTEXT,
     AXIS_STAGE,
     create_mesh,
+    create_hybrid_mesh,
+    global_batch_from_local,
+    group_by_granule,
+    initialize_distributed,
 )
 from perceptor_tpu.parallel.pipeline import pipeline, pipeline_body
 from perceptor_tpu.parallel.ring_attention import (
@@ -43,6 +47,10 @@ __all__ = [
     "AXIS_TENSOR",
     "AXIS_CONTEXT",
     "create_mesh",
+    "create_hybrid_mesh",
+    "global_batch_from_local",
+    "group_by_granule",
+    "initialize_distributed",
     "PartitionRules",
     "SD_TENSOR_PARALLEL_RULES",
     "partition_params",

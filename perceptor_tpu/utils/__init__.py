@@ -5,7 +5,13 @@ from perceptor_tpu.utils.gradients import (
     nonzero_scale,
     combine_gradients,
 )
-from perceptor_tpu.utils.profiling import StepTimer, annotate, trace
+from perceptor_tpu.utils.profiling import (
+    StepTimer,
+    annotate,
+    live_array_bytes,
+    memory_stats,
+    trace,
+)
 from perceptor_tpu.utils.session import load_session, save_session
 from perceptor_tpu.utils import serving
 
@@ -18,6 +24,8 @@ __all__ = [
     "StepTimer",
     "annotate",
     "trace",
+    "memory_stats",
+    "live_array_bytes",
     "save_session",
     "load_session",
     "serving",

@@ -11,6 +11,9 @@ print statements (SURVEY §5). The TPU-native equivalents here:
   - `StepTimer`: wall-clock per-step stats with an honest device sync
     (block_until_ready on a probe array) — the number the headline
     bench reports, available to user loops.
+  - `memory_stats()` / `live_array_bytes()`: HBM occupancy — peak and
+    current bytes from the device allocator plus bytes held by live
+    jax.Arrays, for sizing batch/resolution against the 16 GB v5e HBM.
 """
 
 from __future__ import annotations
@@ -72,3 +75,37 @@ class StepTimer:
             "p90_s": float(np.percentile(times, 90)),
             "steps_per_sec": float(1.0 / times.mean()),
         }
+
+
+def memory_stats(device: Optional[jax.Device] = None) -> dict:
+    """HBM occupancy of `device` (default: first device), in bytes.
+
+    Returns {"bytes_in_use", "peak_bytes_in_use", "bytes_limit", ...} from
+    the device allocator, or {} on backends that don't report memory
+    stats (the virtual CPU mesh; the axon-tunneled chip). After a step,
+    `peak_bytes_in_use` is the number to size batch/resolution against
+    the 16 GB v5e HBM.
+    """
+    device = device or jax.devices()[0]
+    stats = device.memory_stats()
+    return dict(stats) if stats else {}
+
+
+def live_array_bytes(device: Optional[jax.Device] = None) -> int:
+    """Total bytes of live jax.Arrays (on `device` if given, else all).
+
+    The allocator's `bytes_in_use` minus this is roughly what jit
+    executables and temporaries hold — useful for spotting leaked
+    compiled-program memos (ADVICE round-1 found one such leak)."""
+    total = 0
+    for arr in jax.live_arrays():
+        try:
+            devs = arr.devices()
+        except Exception:
+            continue
+        if device is None:
+            total += arr.nbytes
+        elif device in devs:
+            # per-device share of a (possibly sharded) array
+            total += arr.nbytes // max(1, len(devs))
+    return total

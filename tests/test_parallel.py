@@ -141,3 +141,77 @@ def test_spatial_context_sharded_unet_matches_single_device():
 
     actual = forward(sharded_params, sharded_latents, sharded_ts, sharded_ctx)
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=2e-5)
+
+
+# -- multi-host / DCN hybrid mesh ------------------------------------------
+
+
+class _FakeDevice:
+    def __init__(self, id, process_index=0, slice_index=None):
+        self.id = id
+        self.process_index = process_index
+        if slice_index is not None:
+            self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"FakeDevice({self.id})"
+
+
+def test_group_by_granule():
+    # multi-slice: groups by slice_index
+    devs = [_FakeDevice(i, slice_index=i // 4) for i in range(8)]
+    granules = parallel.group_by_granule(devs)
+    assert [len(g) for g in granules] == [4, 4]
+    assert [d.id for d in granules[0]] == [0, 1, 2, 3]
+    # single-slice multi-host: falls back to process_index
+    devs = [_FakeDevice(i, process_index=i % 2) for i in range(8)]
+    granules = parallel.group_by_granule(devs)
+    assert [len(g) for g in granules] == [4, 4]
+    assert [d.id for d in granules[0]] == [0, 2, 4, 6]
+    # partial granule -> error
+    devs = [_FakeDevice(i, slice_index=min(i, 1)) for i in range(5)]
+    with pytest.raises(ValueError, match="unequal"):
+        parallel.group_by_granule(devs)
+
+
+def test_create_hybrid_mesh_degenerates_to_single_granule():
+    # all 8 virtual CPU devices are one process = one granule
+    mesh = parallel.create_hybrid_mesh(data=-1, tensor=2)
+    assert mesh.shape[parallel.AXIS_DATA] == 4
+    assert mesh.shape[parallel.AXIS_TENSOR] == 2
+    with pytest.raises(ValueError, match="granules"):
+        parallel.create_hybrid_mesh(data_dcn=2, data=2, tensor=2)
+
+
+def test_create_hybrid_mesh_dcn_outermost_and_computes():
+    """Two simulated DCN granules (granule_key): the data axis merges
+    dcn (outermost) x inner data, and a data-parallel psum computes the
+    same result as the unsharded program."""
+    devices = jax.devices()
+    granule = {d.id: d.id % 2 for d in devices}
+    mesh = parallel.create_hybrid_mesh(
+        data=2, tensor=2, granule_key=lambda d: granule[d.id]
+    )
+    assert mesh.shape[parallel.AXIS_DATA] == 4
+    assert mesh.shape[parallel.AXIS_TENSOR] == 2
+    # DCN granule is slowest-varying along the data axis: the first half
+    # of the data rows live entirely in granule 0
+    dev_array = np.asarray(mesh.devices)
+    first_half = dev_array[:2].ravel()
+    assert {granule[d.id] for d in first_half} == {0}
+    assert {granule[d.id] for d in dev_array[2:].ravel()} == {1}
+
+    # and it actually runs: data-parallel mean-of-squares over the mesh
+    x = jnp.arange(32.0).reshape(8, 4)
+    xs = parallel.shard_batch(x, mesh)
+    got = jax.jit(lambda v: jnp.mean(v * v))(xs)
+    np.testing.assert_allclose(float(got), float(jnp.mean(x * x)), rtol=1e-6)
+
+
+def test_global_batch_from_local_matches_shard_batch():
+    mesh = parallel.create_mesh(data=8)
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    a = parallel.global_batch_from_local(x, mesh)
+    b = parallel.shard_batch(jnp.asarray(x), mesh)
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), x)

@@ -47,3 +47,16 @@ def test_step_timer_and_trace(tmp_path):
                 probe(f(jnp.ones((8, 8))))
     s = timer.summary()
     assert s["steps"] == 2 and s["mean_s"] > 0 and s["steps_per_sec"] > 0
+
+
+def test_memory_stats_and_live_array_bytes():
+    from perceptor_tpu.utils import live_array_bytes, memory_stats
+
+    stats = memory_stats()  # CPU backend may report {} — must not raise
+    assert isinstance(stats, dict)
+    x = jnp.ones((256, 256), jnp.float32)
+    x.block_until_ready()
+    total = live_array_bytes()
+    assert total >= x.nbytes
+    per_dev = live_array_bytes(jax.devices()[0])
+    assert 0 <= per_dev <= total
