@@ -14,6 +14,7 @@ from perceptor_tpu.utils.profiling import (
 )
 from perceptor_tpu.utils.session import load_session, save_session
 from perceptor_tpu.utils import serving
+from perceptor_tpu.utils import stats
 
 __all__ = [
     "cache",
@@ -29,4 +30,5 @@ __all__ = [
     "save_session",
     "load_session",
     "serving",
+    "stats",
 ]
