@@ -12,7 +12,7 @@ from perceptor_tpu.utils.profiling import (
     memory_stats,
     trace,
 )
-from perceptor_tpu.utils.session import load_session, save_session
+from perceptor_tpu.utils.session import SessionManager, load_session, save_session
 from perceptor_tpu.utils import serving
 from perceptor_tpu.utils import stats
 
@@ -29,6 +29,7 @@ __all__ = [
     "live_array_bytes",
     "save_session",
     "load_session",
+    "SessionManager",
     "serving",
     "stats",
 ]

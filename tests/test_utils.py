@@ -60,3 +60,48 @@ def test_memory_stats_and_live_array_bytes():
     assert total >= x.nbytes
     per_dev = live_array_bytes(jax.devices()[0])
     assert 0 <= per_dev <= total
+
+
+def test_session_manager_interval_retention_resume(tmp_path):
+    import optax
+
+    from perceptor_tpu.utils.session import SessionManager
+
+    params = {"w": jnp.arange(4.0), "k": jax.random.key(3)}
+    optimizer = optax.sgd(0.1)
+    state = {"params": params, "opt": optimizer.init({"w": params["w"]})}
+
+    with SessionManager(
+        str(tmp_path / "ckpt"), max_to_keep=2, save_interval_steps=5
+    ) as mgr:
+        saved_steps = []
+        for step in range(0, 16):
+            st = dict(state)
+            st["params"] = dict(params, w=params["w"] + step)
+            if mgr.save(step, st):
+                saved_steps.append(step)
+        mgr.wait()
+        # interval policy: every 5th step
+        assert saved_steps == [0, 5, 10, 15]
+        assert mgr.latest_step() == 15
+        # force overrides the interval
+        assert mgr.save(16, state, force=True)
+        mgr.wait()
+        assert mgr.latest_step() == 16
+
+        fresh = {
+            "params": {"w": jnp.zeros((4,)), "k": jax.random.key(0)},
+            "opt": optimizer.init({"w": jnp.zeros((4,))}),
+        }
+        step, restored = mgr.restore_latest(fresh)
+        assert step == 16
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["w"]), np.arange(4.0)
+        )
+        # PRNG key resumes the exact stream
+        np.testing.assert_allclose(
+            np.asarray(jax.random.normal(restored["params"]["k"], (2,))),
+            np.asarray(jax.random.normal(params["k"], (2,))),
+        )
+        # no preemption signal in a single-process test environment
+        assert mgr.reached_preemption(16) is False
