@@ -17,6 +17,7 @@ _LAZY = {
     "StyleTransfer": ("perceptor_tpu.losses.style_transfer", "StyleTransfer"),
     "LPIPS": ("perceptor_tpu.losses.lpips", "LPIPS"),
     "Memorability": ("perceptor_tpu.losses.memorability", "Memorability"),
+    "MidasDepth": ("perceptor_tpu.losses.midas_depth", "MidasDepth"),
     "SimulacraAesthetic": (
         "perceptor_tpu.losses.simulacra_aesthetic",
         "SimulacraAesthetic",
