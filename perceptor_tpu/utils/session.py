@@ -175,6 +175,10 @@ class SessionManager:
         whether a save was actually issued."""
         state = _strip_keys(state)
         if self._manager is not None:
+            if int(step) in (self._manager.all_steps() or ()):
+                # idempotent: resuming exactly at a checkpointed step must
+                # not raise (orbax refuses to overwrite an existing step)
+                return False
             saved = self._manager.save(
                 int(step), args=self._ocp.args.StandardSave(state), force=force
             )

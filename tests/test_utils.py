@@ -105,3 +105,15 @@ def test_session_manager_interval_retention_resume(tmp_path):
         )
         # no preemption signal in a single-process test environment
         assert mgr.reached_preemption(16) is False
+
+
+def test_session_manager_idempotent_resave(tmp_path):
+    from perceptor_tpu.utils.session import SessionManager
+
+    state = {"w": jnp.ones((2,))}
+    with SessionManager(str(tmp_path / "c"), save_interval_steps=1) as mgr:
+        assert mgr.save(3, state, force=True)
+        mgr.wait()
+        # resuming exactly at a checkpointed step must be a no-op, not a crash
+        assert mgr.save(3, state, force=True) is False
+        assert mgr.latest_step() == 3
