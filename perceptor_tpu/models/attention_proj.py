@@ -45,11 +45,20 @@ class HeadProj(nn.Module):
     conv_kernel: bool = False  # param shape (1,1,c,out) instead of (c,out)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Emit (b, heads, seq, emit_dim) with zero-padded head_dim lanes. When
+    # the downstream kernel needs head_dim padded to the 128-lane width
+    # (ops/flash_attention_kernel.py), padding the (tiny) projection weight
+    # instead of the (large) activation deletes a whole HBM round-trip of
+    # pad copies per q/k/v per call. The softmax scale must then be passed
+    # explicitly (1/sqrt(true dim_head)) since q.shape[-1] is padded.
+    emit_dim: int | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
         c = x.shape[-1]
         h, d, n = self.heads, self.dim_head, self.n_proj
+        de = self.emit_dim or d
+        assert de >= d, "emit_dim must be >= dim_head"
         out_features = n * h * d
         shape = (1, 1, c, out_features) if self.conv_kernel else (c, out_features)
         kernel = self.param(
@@ -60,23 +69,29 @@ class HeadProj(nn.Module):
             if self.use_bias
             else None
         )
+
+        def pad_d(w):  # (..., d) -> (..., emit_dim), zero lanes
+            if de == d:
+                return w
+            return jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, de - d)])
+
         k = kernel.astype(self.dtype).reshape(c, out_features)
         b = bias.astype(self.dtype) if bias is not None else None
         if n == 1:
-            out = jnp.einsum("bsc,chd->bhsd", x, k.reshape(c, h, d))
+            out = jnp.einsum("bsc,chd->bhsd", x, pad_d(k.reshape(c, h, d)))
             if b is not None:
-                out = out + b.reshape(1, h, 1, d)
+                out = out + pad_d(b.reshape(1, h, 1, d))
             return out
         if self.interleave == "head":
             kr = k.reshape(c, h, n, d)
-            projs = [kr[:, :, i] for i in range(n)]
+            projs = [pad_d(kr[:, :, i]) for i in range(n)]
             br = b.reshape(h, n, d) if b is not None else None
-            biases = [br[None, :, i, None, :] for i in range(n)] if b is not None else None
+            biases = [pad_d(br[None, :, i, None, :]) for i in range(n)] if b is not None else None
         else:
             kr = k.reshape(c, n, h, d)
-            projs = [kr[:, i] for i in range(n)]
+            projs = [pad_d(kr[:, i]) for i in range(n)]
             br = b.reshape(n, h, d) if b is not None else None
-            biases = [br[i][None, :, None, :] for i in range(n)] if b is not None else None
+            biases = [pad_d(br[i][None, :, None, :]) for i in range(n)] if b is not None else None
         return tuple(
             jnp.einsum("bsc,chd->bhsd", x, projs[i])
             + (biases[i] if biases is not None else 0.0)
@@ -109,6 +124,13 @@ class HeadMergeProj(nn.Module):
             "kernel", nn.initializers.lecun_normal(), shape, jnp.float32
         )
         k = kernel.astype(self.dtype).reshape(h, d, self.features)
+        if y.shape[-1] != d:
+            # Padded-lane input from a kernel fed by HeadProj(emit_dim=...):
+            # the pad lanes are exactly zero (zero V columns), so zero
+            # weight rows consume them — the slice copy back to the true
+            # head_dim disappears into the contraction.
+            assert y.shape[-1] > d, (y.shape, d)
+            k = jnp.pad(k, ((0, 0), (0, y.shape[-1] - d), (0, 0)))
         out = jnp.einsum("bhsd,hdo->bso", y, k)
         if self.use_bias:
             bias = self.param(

@@ -13,6 +13,8 @@ compute with fp32 norms (replaces ADM's convert_to_fp16, fp16_util.py:13-31);
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -23,7 +25,7 @@ from perceptor_tpu.models.stable_diffusion.unet import (
     SpatialTransformer,
     timestep_embedding,
 )
-from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU, ScaleShiftGroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
@@ -112,11 +114,14 @@ class AttentionBlock(nn.Module):
         y = group_norm(x, "norm")
         # Legacy head-interleaved qkv channel layout (reference
         # unet.py:355-380): channels = [head0(q|k|v), head1(q|k|v), ...]
+        # emit head_dim pre-padded to the flash kernel's lane width when
+        # that path will run (see stable_diffusion/unet.py CrossAttention)
+        emit = d + ((-d) % 128 if flash_route(h * w, h * w) else 0)
         q, k, v = HeadProj(
             self.n_heads, d, n_proj=3, interleave="head", dtype=self.dtype,
-            name="qkv",
+            emit_dim=emit, name="qkv",
         )(y.reshape(n, h * w, c).astype(self.dtype))
-        y = attention(q, k, v)
+        y = attention(q, k, v, scale=1.0 / math.sqrt(d))
         y = HeadMergeProj(
             c, self.n_heads, d, dtype=self.dtype, name="proj_out"
         )(y)

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.stable_diffusion.config import UNetConfig
-from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
@@ -120,16 +120,27 @@ class CrossAttention(nn.Module):
         sk = context.shape[1]
 
         if ATTN_PROJ == "einsum":
+            # When the flash kernel will run (long self-attention), emit
+            # head_dim already padded to its 128-lane width from the
+            # projection weights: the activation-sized pad/slice copies
+            # around every kernel call (q/k/v in, out back — 4 HBM
+            # round-trips per site, fwd AND bwd) collapse into zero
+            # weight columns/rows. Numerics identical; softmax scale uses
+            # the true head_dim.
+            emit = self.dim_head
+            if flash_route(s, sk):
+                emit += (-self.dim_head) % 128
+
             def head_proj(name):
                 return HeadProj(
                     self.heads, self.dim_head, use_bias=False,
-                    dtype=self.dtype, name=name,
+                    dtype=self.dtype, emit_dim=emit, name=name,
                 )
 
             q = head_proj("to_q")(x)
             k = head_proj("to_k")(context)
             v = head_proj("to_v")(context)
-            out = attention(q, k, v)
+            out = attention(q, k, v, scale=1.0 / math.sqrt(self.dim_head))
             return HeadMergeProj(
                 inner, self.heads, self.dim_head, dtype=self.dtype,
                 name="to_out_0",

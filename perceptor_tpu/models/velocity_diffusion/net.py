@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.velocity_diffusion.configs import VNetConfig
-from perceptor_tpu.ops.attention import attention
+from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.groupnorm import fused_group_norm_act
 
 
@@ -121,11 +121,15 @@ class SelfAttention2d(nn.Module):
         else:
             y = x  # wikiart_256.py:61-76 has no norm
         # [q|k|v]-major 1x1-conv channel layout (reference yfcc_2.py:52-70)
+        d = c // self.n_head
+        # emit head_dim pre-padded to the flash kernel's lane width when
+        # that path will run (see stable_diffusion/unet.py CrossAttention)
+        emit = d + ((-d) % 128 if flash_route(h * w, h * w) else 0)
         q, k, v = HeadProj(
-            self.n_head, c // self.n_head, n_proj=3, interleave="proj",
-            conv_kernel=True, dtype=self.dtype, name="qkv_proj",
+            self.n_head, d, n_proj=3, interleave="proj",
+            conv_kernel=True, dtype=self.dtype, emit_dim=emit, name="qkv_proj",
         )(y.reshape(n, h * w, c).astype(self.dtype))
-        y = attention(q, k, v)
+        y = attention(q, k, v, scale=1.0 / math.sqrt(d))
         y = HeadMergeProj(
             c, self.n_head, c // self.n_head, conv_kernel=True,
             dtype=self.dtype, name="out_proj",

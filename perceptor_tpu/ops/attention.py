@@ -68,6 +68,21 @@ def _flash_available() -> bool:
         return False
 
 
+def flash_route(seq_q: int, seq_k: int, masked: bool = False) -> bool:
+    """True when `attention` will take the Pallas flash path for these
+    (static) sequence lengths. Exposed so model code can make layout
+    decisions that depend on the routing — e.g. emitting head_dim already
+    padded to the kernel's 128-lane width from the projection einsum
+    (models/attention_proj.py `emit_dim`), which deletes the separate
+    pad/slice copies around every kernel call."""
+    return (
+        not masked
+        and seq_q >= 1024
+        and seq_q == seq_k
+        and jax.devices()[0].platform not in ("cpu",)
+    )
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -83,12 +98,7 @@ def attention(
     """
     seq_q, seq_k = q.shape[-2], k.shape[-2]
     if use_flash is None:
-        use_flash = (
-            mask is None
-            and seq_q >= 1024
-            and seq_q == seq_k
-            and jax.devices()[0].platform not in ("cpu",)
-        )
+        use_flash = flash_route(seq_q, seq_k, masked=mask is not None)
     if use_flash and _flash_available():
         from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 

@@ -86,3 +86,50 @@ def test_head_merge_proj_non_square():
     assert params["kernel"].shape == (C, 3 * C)
     out = mod.apply({"params": params}, y)
     assert out.shape == (B, S, 3 * C)
+
+
+def test_padded_emission_attention_chain_is_exact():
+    """HeadProj(emit_dim=lane-padded) -> attention -> HeadMergeProj must
+    match the unpadded chain with the same params: the pad lanes are zeros
+    in q/k (adding 0.0 terms to every score contraction) and in v (zero
+    output lanes consumed by zero merge-weight rows). The comparison is at
+    float32-ULP tolerance, not bit-exact — padding the contraction dim
+    changes XLA's reduction tiling, which reorders the fp accumulation."""
+    import math
+
+    from perceptor_tpu.ops.attention import dot_product_attention
+
+    D_PAD = D + (-D) % 128  # what the flash kernel pads to on TPU
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, S, C))
+    scale = 1.0 / math.sqrt(D)
+
+    outs = {}
+    for emit in (None, D_PAD):
+        proj = HeadProj(H, D, use_bias=False, emit_dim=emit)
+        params = proj.init(jax.random.PRNGKey(1), x)["params"]
+        assert params["kernel"].shape == (C, H * D)  # emit_dim never in params
+        q = proj.apply({"params": params}, x)
+        assert q.shape[-1] == (emit or D)
+        att = dot_product_attention(q, q, q, scale=scale)
+        merge = HeadMergeProj(C, H, D)
+        mparams = merge.init(jax.random.PRNGKey(2), att[..., :D])["params"]
+        outs[emit] = merge.apply({"params": mparams}, att)
+    np.testing.assert_allclose(outs[None], outs[D_PAD], rtol=2e-4, atol=2e-6)
+
+
+def test_padded_emission_fused_qkv():
+    """n_proj=3 with emit_dim: padded lanes are exactly zero and the true
+    lanes match the unpadded projection, for both interleave layouts."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, S, C))
+    for interleave in ("proj", "head"):
+        mod = HeadProj(H, D, n_proj=3, interleave=interleave)
+        params = mod.init(jax.random.PRNGKey(1), x)["params"]
+        padded = HeadProj(H, D, n_proj=3, interleave=interleave, emit_dim=64)
+        base = mod.apply({"params": params}, x)
+        wide = padded.apply({"params": params}, x)
+        for t0, t1 in zip(base, wide):
+            assert t1.shape == (*t0.shape[:-1], 64)
+            np.testing.assert_array_equal(t1[..., : t0.shape[-1]], t0)
+            np.testing.assert_array_equal(
+                t1[..., t0.shape[-1] :], np.zeros_like(t1[..., t0.shape[-1] :])
+            )
