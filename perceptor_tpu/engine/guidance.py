@@ -148,6 +148,10 @@ def guided_sample(
     threshold: Optional[str] = None,
     threshold_quantile: float = 0.95,
     clamp_value: float = 1e-6,
+    uncond_conditioning=None,
+    cfg_scale: float = 7.0,
+    loss_images: str = "decoded",
+    image_augment: Optional[Callable] = None,
     mesh=None,
     rules=None,
 ):
@@ -181,6 +185,24 @@ def guided_sample(
       gradient into ~sign(grad) — near-zero gradient elements are
       numerically chaotic across compilations; pass a larger value for a
       smooth (magnitude-preserving) guidance signal.
+    - ``uncond_conditioning``/``cfg_scale``: classifier-free guidance
+      composed with the loss guidance (the reference's SD user pattern,
+      SURVEY §3.3 + §3.4: two model evals per step, predictions =
+      ``uncond.classifier_free_guidance(cond, cfg_scale)``, then the loss
+      VJP through the CFG-combined denoised images and ``guided()``).
+      ``cfg_scale`` is traced — sweeping it reuses one executable.
+    - ``loss_images``: what the losses see. "decoded" (default) is the
+      model's full decode (``predictions.denoised_images`` — for latent
+      models the VAE decode, whose input-VJP dominates the fused step's
+      cost). "preview" uses the model's cheap differentiable preview
+      (``model.preview_images_fn``, e.g. StableDiffusion's linear
+      latent->RGB factors): approximate guidance at a fraction of the
+      cost — the loss VJP skips the VAE entirely.
+    - ``image_augment``: optional ``(key, images) -> images`` hook applied
+      before the losses each step with fresh per-step randomness — the
+      cutout-ensemble recipe (``transforms.random_cutouts``) every
+      CLIP-guided-diffusion loop uses:
+      ``lambda key, images: transforms.random_cutouts(images, key, 16)``.
     - ``mesh``/``rules``: shard the whole loop over a device mesh — model
       and loss-tower params partitioned by the tensor-parallel rules
       (parallel/partition.py; `rules=None` uses the defaults), the batch
@@ -203,6 +225,16 @@ def guided_sample(
         key = jax.random.PRNGKey(0)
     if threshold not in (None, "dynamic", "static"):
         raise ValueError(f"threshold must be None|'dynamic'|'static', got {threshold!r}")
+    if loss_images not in ("decoded", "preview"):
+        raise ValueError(
+            f"loss_images must be 'decoded'|'preview', got {loss_images!r}"
+        )
+    if loss_images == "preview" and not hasattr(model, "preview_images_fn"):
+        raise ValueError(
+            f"{type(model).__name__} has no preview_images_fn; "
+            "loss_images='preview' needs a latent model with a cheap "
+            "differentiable preview decode"
+        )
 
     mparams = model.params
     latents = initial_latents
@@ -221,8 +253,11 @@ def guided_sample(
             latents = parallel.replicate(latents, mesh)
         if conditioning is not None:
             conditioning = parallel.replicate(conditioning, mesh)
+        if uncond_conditioning is not None:
+            uncond_conditioning = parallel.replicate(uncond_conditioning, mesh)
 
     stochastic = float(eta) > 0.0
+    use_cfg = uncond_conditioning is not None
     # Memoize the compiled run only when every loss goes through the pure
     # (apply, loss_params) protocol: there all mutable state (tower params,
     # prompt bank, multiplier) rides in the traced loss_params argument, so
@@ -236,7 +271,8 @@ def guided_sample(
         run_key = (
             tuple(id(loss) for loss in losses), weights, bool(correction),
             int(n_resample), threshold, float(threshold_quantile), stochastic,
-            float(clamp_value),
+            float(clamp_value), use_cfg, loss_images,
+            id(image_augment) if image_augment is not None else None,
         )
         runs = model.__dict__.setdefault("_guided_runs", {})
         entry = runs.get(run_key)
@@ -247,18 +283,23 @@ def guided_sample(
     if run is None:
         run = _build_guided_run(
             model, losses, loss_fns, weights, correction, n_resample,
-            threshold, threshold_quantile, stochastic, clamp_value,
+            threshold, threshold_quantile, stochastic, clamp_value, use_cfg,
+            loss_images, image_augment,
         )
         if memoizable:
             # The strong loss refs keep the keyed id()s stable, but they
             # also pin the loss towers' weights — bound the memo (FIFO) so
             # a config sweep can't accumulate unbounded pinned params.
+            # image_augment is kept alive alongside so its keyed id() can't
+            # be recycled either.
             while len(runs) >= _GUIDED_MEMO_MAX:
                 runs.pop(next(iter(runs)))
-            runs[run_key] = (run, tuple(losses))
+            runs[run_key] = (run, tuple(losses), image_augment)
     return run(
-        mparams, latents, pairs, loss_frozen, conditioning, key,
-        jnp.float32(guidance_scale), jnp.float32(eta),
+        mparams, latents, pairs, loss_frozen,
+        (conditioning, uncond_conditioning) if use_cfg else conditioning,
+        key, jnp.float32(guidance_scale), jnp.float32(eta),
+        jnp.float32(cfg_scale),
     )
 
 
@@ -275,6 +316,9 @@ def export_guided_sample(
     threshold: Optional[str] = None,
     threshold_quantile: float = 0.95,
     clamp_value: float = 1e-6,
+    uncond_conditioning=None,
+    loss_images: str = "decoded",
+    image_augment=None,
     platforms=None,
 ) -> bytes:
     """Serialize the guided-sampling program (the library's core IP) as a
@@ -285,7 +329,10 @@ def export_guided_sample(
     loss_params, conditioning, key, guidance_scale, eta) -> (latents,
     loss_history)`` — the schedule, prompt banks, and every weight tree
     stay ARGUMENTS, so one artifact serves any checkpoint/prompt at the
-    exported shapes. Static options (correction/threshold/n_resample/
+    exported shapes. With ``uncond_conditioning`` the conditioning slot
+    becomes the ``(cond, uncond)`` tuple and a 9th traced ``cfg_scale``
+    argument is appended (classifier-free guidance composed with the loss
+    guidance). Static options (correction/threshold/n_resample/
     stochastic eta) are baked; export one artifact per combination.
     ``example_latents``/``example_pairs``/``conditioning`` fix the shapes.
     Loss params for the call side come from each loss's ``loss_params``
@@ -301,29 +348,54 @@ def export_guided_sample(
     if threshold not in (None, "dynamic", "static"):
         raise ValueError(f"threshold must be None|'dynamic'|'static', got {threshold!r}")
     stochastic = float(eta) > 0.0
+    use_cfg = uncond_conditioning is not None
     run = _build_guided_run(
         model, losses, loss_fns, weights, correction, n_resample,
-        threshold, threshold_quantile, stochastic, clamp_value,
+        threshold, threshold_quantile, stochastic, clamp_value, use_cfg,
+        loss_images, image_augment,
     )
     from perceptor_tpu.utils import serving
 
     example = (
         model.params, example_latents, jnp.asarray(example_pairs),
-        loss_frozen, conditioning, jax.random.PRNGKey(0),
-        jnp.float32(0.5), jnp.float32(eta),
+        loss_frozen,
+        (conditioning, uncond_conditioning) if use_cfg else conditioning,
+        jax.random.PRNGKey(0), jnp.float32(0.5), jnp.float32(eta),
     )
+    if use_cfg:
+        # CFG artifacts take a 9th argument (the traced cfg_scale); the
+        # plain artifact keeps the original 8-argument signature
+        example = example + (jnp.float32(7.0),)
     return serving.serialize_program(run, *example, platforms=platforms)
 
 
 def _build_guided_run(
     model, losses, loss_fns, weights, correction, n_resample, threshold,
-    threshold_quantile, stochastic, clamp_value,
+    threshold_quantile, stochastic, clamp_value, use_cfg=False,
+    loss_images="decoded", image_augment=None,
 ):
-    """Compile-once jitted scan for guided_sample's static configuration."""
+    """Compile-once jitted scan for guided_sample's static configuration.
 
-    def total_loss(latents, from_idx, mparams, loss_p, cond):
-        predictions = model.predictions_fn(mparams, latents, from_idx, cond)
-        images = predictions.denoised_images
+    When ``use_cfg`` the ``cond`` argument is a ``(cond, uncond)`` tuple
+    and predictions are classifier-free-guidance combined before the loss
+    VJP (so the loss gradient flows through BOTH model evaluations)."""
+
+    def make_predictions(latents, from_idx, mparams, cond, cfg_scale):
+        if use_cfg:
+            positive, uncond = cond
+            pred_u = model.predictions_fn(mparams, latents, from_idx, uncond)
+            pred_c = model.predictions_fn(mparams, latents, from_idx, positive)
+            return pred_u.classifier_free_guidance(pred_c, cfg_scale)
+        return model.predictions_fn(mparams, latents, from_idx, cond)
+
+    def total_loss(latents, from_idx, mparams, loss_p, cond, cfg_scale, aug_key):
+        predictions = make_predictions(latents, from_idx, mparams, cond, cfg_scale)
+        if loss_images == "preview":
+            images = model.preview_images_fn(predictions.denoised_xs)
+        else:
+            images = predictions.denoised_images
+        if image_augment is not None:
+            images = image_augment(aug_key, images)
         values = []
         for loss, apply_fn, lp in zip(losses, loss_fns, loss_p):
             values.append(
@@ -340,14 +412,24 @@ def _build_guided_run(
         return predictions
 
     @jax.jit
-    def run(mparams, latents, pairs, loss_p, cond, key, guidance_scale, eta):
-        def guided_predictions(latents, from_idx):
+    def run(
+        mparams, latents, pairs, loss_p, cond, key, guidance_scale, eta,
+        cfg_scale=jnp.float32(7.0),
+    ):
+        def guided_predictions(latents, from_idx, aug_key):
             (value, predictions), grads = jax.value_and_grad(
                 total_loss, has_aux=True
-            )(latents, from_idx, mparams, loss_p, cond)
+            )(latents, from_idx, mparams, loss_p, cond, cfg_scale, aug_key)
             return apply_threshold(
                 predictions.guided(grads, guidance_scale, clamp_value=clamp_value)
             ), value
+
+        def split_aug(key):
+            # only consume RNG when augmenting: keeps the key stream (and
+            # therefore existing trajectories) identical without a hook
+            if image_augment is None:
+                return key, key
+            return jax.random.split(key)
 
         def body(carry, pair):
             latents, key = carry
@@ -356,9 +438,11 @@ def _build_guided_run(
             # guided_resample_ pattern, losses/velocity_diffusion.py:33-61)
             for _ in range(n_resample):
                 key, resample_key = jax.random.split(key)
-                guided, _ = guided_predictions(latents, from_idx)
+                key, aug_key = split_aug(key)
+                guided, _ = guided_predictions(latents, from_idx, aug_key)
                 latents = guided.resample(to_idx, key=resample_key)
-            guided, value = guided_predictions(latents, from_idx)
+            key, aug_key = split_aug(key)
+            guided, value = guided_predictions(latents, from_idx, aug_key)
             if stochastic:
                 key, step_key = jax.random.split(key)
                 stepped = guided.step(to_idx, eta=eta, key=step_key)
@@ -367,8 +451,8 @@ def _build_guided_run(
             if correction:
                 # second-order: re-evaluate at the stepped point (forward
                 # only), average denoised estimates, re-step
-                predictions2 = model.predictions_fn(
-                    mparams, stepped, to_idx, cond
+                predictions2 = make_predictions(
+                    stepped, to_idx, mparams, cond, cfg_scale
                 )
                 corrected = apply_threshold(predictions2.correction(guided))
                 if stochastic:

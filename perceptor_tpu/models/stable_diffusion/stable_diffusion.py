@@ -29,6 +29,7 @@ import numpy as np
 
 from perceptor_tpu import utils
 from perceptor_tpu.core.init import init_on_cpu
+from perceptor_tpu.ops.clamp import clamp_with_grad
 from perceptor_tpu.models.clip.tokenizer import SimpleTokenizer, tokenize
 from perceptor_tpu.models.stable_diffusion import config as sd_config
 from perceptor_tpu.models.stable_diffusion.text_encoder import CLIPTextEncoder
@@ -39,6 +40,19 @@ from perceptor_tpu.schedules import indexed_schedule, scaled_linear_alphas_sigma
 from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
 
 INPAINTING_NAME = "runwayml/stable-diffusion-inpainting"
+
+# Published SD-1.x linear latent->RGB preview factors (the 4x3 map every
+# latent-preview implementation shares; approximate decode for guidance/
+# preview, NOT a VAE replacement). Rows are the 4 latent channels.
+_LATENT_RGB_FACTORS = np.array(
+    [
+        [0.298, 0.207, 0.208],
+        [0.187, 0.286, 0.173],
+        [-0.158, 0.189, 0.264],
+        [-0.184, -0.271, -0.473],
+    ],
+    dtype=np.float32,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -310,6 +324,20 @@ class StableDiffusion:
 
     def decode_fn(self, params, latents):
         return self._jit_decode(params, latents)
+
+    def preview_images_fn(self, latents):
+        """Linear latent -> RGB preview (no VAE): the published SD-1.x
+        4x3 preview factors every latent-preview UI uses. Approximate
+        (1/8-resolution, linear), but differentiable and ~free — the
+        engine's ``loss_images="preview"`` guidance mode runs the loss
+        VJP through THIS instead of the VAE decode, which dominates the
+        fused guided step's cost (docs/PERFORMANCE.md step anatomy)."""
+        rgb = jnp.einsum(
+            "nchw,cd->ndhw",
+            latents,
+            jnp.asarray(_LATENT_RGB_FACTORS, dtype=latents.dtype),
+        )
+        return clamp_with_grad(rgb * 0.5 + 0.5, 0.0, 1.0)
 
     def text_encode_fn(self, params, tokens):
         return self._jit_text(params, tokens)

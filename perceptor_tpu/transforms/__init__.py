@@ -6,6 +6,11 @@ from perceptor_tpu.transforms.dynamic_threshold import (
     DynamicThreshold,
 )
 from perceptor_tpu.transforms.clamp import ClampWithGrad
+from perceptor_tpu.transforms.cutouts import (
+    crop_and_resize,
+    random_cutout_boxes,
+    random_cutouts,
+)
 from perceptor_tpu.transforms.resize_transform import Resize
 
 __all__ = [
@@ -14,6 +19,9 @@ __all__ = [
     "ClampWithGrad",
     "resize",
     "Resize",
+    "crop_and_resize",
+    "random_cutout_boxes",
+    "random_cutouts",
     "dynamic_threshold",
     "DynamicThreshold",
     "SuperResolution",

@@ -383,3 +383,157 @@ def test_drawer_param_penalty_joins_fused_objective():
     np.testing.assert_allclose(
         float(aux["loss"]), float(expected_total), rtol=1e-5
     )
+
+
+def test_guided_sample_cfg_matches_stepwise_algebra(clip_loss):
+    """uncond_conditioning/cfg_scale compose classifier-free guidance with
+    the loss guidance exactly as the reference's SD user loop does
+    (SURVEY §3.3 + §3.4): two model evals, CFG-combine, loss VJP through
+    the combined denoised images, guided(), step."""
+    model = _tiny_sd()
+    cond = model.conditioning(["a test"])
+    uncond = model.conditioning([""])
+    pairs = model.schedule_indices(n_steps=3, from_index=800, to_index=200)
+    latents0 = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+
+    final, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0,
+        uncond_conditioning=uncond, cfg_scale=4.0,
+    )
+
+    def cfg_predictions(latents, from_idx):
+        pred_u = model.predictions_fn(model.params, latents, from_idx, uncond)
+        pred_c = model.predictions_fn(model.params, latents, from_idx, cond)
+        return pred_u.classifier_free_guidance(pred_c, 4.0)
+
+    latents = latents0
+    for pair in np.asarray(pairs):
+        from_idx, to_idx = jnp.asarray([pair[0]]), jnp.asarray([pair[1]])
+
+        def f(latents):
+            predictions = cfg_predictions(latents, from_idx)
+            return clip_loss.apply(
+                clip_loss.loss_params, predictions.denoised_images
+            )
+
+        grads = jax.grad(f)(latents)
+        guided = cfg_predictions(latents, from_idx).guided(
+            grads, 0.3, clamp_value=1.0
+        )
+        latents = guided.step(to_idx)
+
+    # two separately-compiled f32 programs: reassociation differences are
+    # amplified by cfg_scale and compound across the trajectory, so the
+    # bar is looser than the single-conditioning test's 1e-5
+    np.testing.assert_allclose(np.asarray(final), np.asarray(latents), atol=2e-3)
+    # CFG trajectory differs from the single-conditioning one
+    plain, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0,
+    )
+    assert bool(jnp.any(jnp.abs(final - plain) > 1e-6))
+
+
+def test_guided_sample_cfg_scale_is_traced(clip_loss):
+    model = _tiny_sd()
+    model.__dict__.pop("_guided_runs", None)
+    cond = model.conditioning(["a test"])
+    uncond = model.conditioning([""])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    for scale in (1.0, 4.0, 7.5):
+        engine.guided_sample(
+            model, [clip_loss], latents, pairs, conditioning=cond,
+            uncond_conditioning=uncond, cfg_scale=scale,
+        )
+    assert len(model._guided_runs) == 1  # traced arg, one executable
+
+
+def test_guided_sample_preview_mode(clip_loss):
+    """loss_images='preview' guides through the linear latent->RGB preview
+    (no VAE in the loss VJP); trajectory is finite and differs from the
+    decoded mode, and the preview itself is the published 4x3 map."""
+    from perceptor_tpu.models.stable_diffusion.stable_diffusion import (
+        _LATENT_RGB_FACTORS,
+    )
+
+    model = _tiny_sd()
+    cond = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents0 = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+
+    preview = model.preview_images_fn(latents0)
+    assert preview.shape == (1, 3) + latents0.shape[-2:]
+    assert float(preview.min()) >= 0.0 and float(preview.max()) <= 1.0
+    want = np.einsum(
+        "nchw,cd->ndhw", np.asarray(latents0), _LATENT_RGB_FACTORS
+    ) * 0.5 + 0.5
+    np.testing.assert_allclose(
+        np.asarray(preview), np.clip(want, 0.0, 1.0), atol=1e-6
+    )
+
+    fast, history = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0, loss_images="preview",
+    )
+    assert bool(jnp.all(jnp.isfinite(fast)))
+    assert bool(jnp.all(jnp.isfinite(history)))
+    exact, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0,
+    )
+    assert bool(jnp.any(jnp.abs(fast - exact) > 1e-6))
+
+
+def test_guided_sample_preview_requires_capable_model(clip_loss):
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    model = VelocityDiffusion(name="tiny", fp16=False)
+    pairs = model.schedule_ts(n_steps=2)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    with pytest.raises(ValueError, match="preview"):
+        engine.guided_sample(
+            model, [clip_loss], latents, pairs, loss_images="preview"
+        )
+    with pytest.raises(ValueError, match="loss_images"):
+        engine.guided_sample(
+            model, [clip_loss], latents, pairs, loss_images="nope"
+        )
+
+
+def test_guided_sample_image_augment_cutouts(clip_loss):
+    """image_augment threads fresh per-step randomness into the loss path
+    (the cutout-ensemble recipe of every CLIP-guided-diffusion loop)."""
+    from perceptor_tpu import transforms
+
+    model = _tiny_sd()
+    cond = model.conditioning(["a test"])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents0 = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+
+    def augment(key, images):
+        return transforms.random_cutouts(images, key, 4, cut_size=16)
+
+    out1, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0, image_augment=augment,
+    )
+    out2, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0, image_augment=augment,
+    )
+    plain, _ = engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.3, clamp_value=1.0,
+    )
+    assert bool(jnp.all(jnp.isfinite(out1)))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert bool(jnp.any(jnp.abs(out1 - plain) > 1e-6))
+    # the same augment callable memoizes; a different one rebuilds
+    runs_before = len(model._guided_runs)
+    engine.guided_sample(
+        model, [clip_loss], latents0, pairs, conditioning=cond,
+        guidance_scale=0.5, clamp_value=1.0, image_augment=augment,
+    )
+    assert len(model._guided_runs) == runs_before

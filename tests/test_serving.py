@@ -157,3 +157,42 @@ def test_save_load_programs_roundtrip(tmp_path):
     blobs = {"a": b"aaaa", "b": b"\x00\x01binary"}
     serving.save_programs(str(tmp_path), blobs)
     assert serving.load_programs(str(tmp_path)) == blobs
+
+
+def test_export_guided_sample_cfg_artifact(tiny_sd):
+    """The CFG variant exports with the (cond, uncond) tuple slot and the
+    appended traced cfg_scale argument, and reproduces the live path."""
+    from perceptor_tpu import engine
+    from perceptor_tpu.engine.guidance import _gather_frozen
+    from perceptor_tpu.losses.open_clip import OpenCLIP
+    from tests.test_clip import TINY
+
+    model = tiny_sd
+    loss = OpenCLIP("ViT-B-32", "test", config=TINY)
+    loss.add_encodings_(
+        jax.random.normal(jax.random.PRNGKey(1), (1, TINY.embed_dim))
+    )
+    cond = model.conditioning(["a guided test"])
+    uncond = model.conditioning([""])
+    pairs = model.schedule_indices(n_steps=2, from_index=800, to_index=400)
+    latents = model.random_diffused_latents((1, 32, 32), jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    live_latents, live_history = engine.guided_sample(
+        model, [loss], latents, pairs, conditioning=cond,
+        guidance_scale=0.3, key=key,
+        uncond_conditioning=uncond, cfg_scale=4.0,
+    )
+    blob = engine.export_guided_sample(
+        model, [loss], latents, pairs, conditioning=cond,
+        uncond_conditioning=uncond,
+    )
+    call = serving.load_program(blob)
+    _, _, _, loss_frozen = _gather_frozen(lambda p: p, [loss])
+    served_latents, served_history = call(
+        model.params, latents, jnp.asarray(pairs), loss_frozen,
+        (cond, uncond), key, jnp.float32(0.3), jnp.float32(0.0),
+        jnp.float32(4.0),
+    )
+    np.testing.assert_allclose(served_latents, live_latents, atol=1e-5)
+    np.testing.assert_allclose(served_history, live_history, atol=1e-5)
