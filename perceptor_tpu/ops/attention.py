@@ -79,6 +79,10 @@ def flash_route(seq_q: int, seq_k: int, masked: bool = False) -> bool:
         not masked
         and seq_q >= 1024
         and seq_q == seq_k
+        # the Pallas kernel tiles the sequence into lane-aligned blocks
+        # (flash_attention_kernel.snap_block); non-128-multiple lengths
+        # take the XLA path
+        and seq_q % 128 == 0
         and jax.devices()[0].platform not in ("cpu",)
     )
 

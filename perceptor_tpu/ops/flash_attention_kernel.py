@@ -289,6 +289,22 @@ def _default_blocks(sq: int, sk: int, d_padded: int):
     return 512, 512
 
 
+def snap_block(seq: int, preferred: int) -> Optional[int]:
+    """Largest lane-aligned block <= preferred that divides seq.
+
+    Power-of-two sequences (512px SD: 4096/1024/256 tokens) keep the
+    measured defaults; other lane-aligned lengths (768px: 9216/2304
+    tokens = 128*72 / 128*18) snap down (e.g. 2304 -> 384). Returns None
+    when seq itself is not a multiple of the 128-lane width — the
+    dispatcher must use the XLA path then."""
+    if seq % LANES:
+        return None
+    for block in range(min(preferred, seq), LANES - 1, -LANES):
+        if seq % block == 0:
+            return block
+    return None
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -310,10 +326,16 @@ def flash_attention(
     sq, sk = q.shape[2], k.shape[2]
     d_padded = q.shape[-1] + ((-q.shape[-1]) % LANES)
     default_q, default_k = _default_blocks(sq, sk, d_padded)
-    block_q = min(block_q or default_q, sq)
-    block_k = min(block_k or default_k, sk)
+    # explicit block sizes are honored as-is (and validated below);
+    # defaults snap down to the largest lane-aligned divisor of the
+    # sequence, so any 128-multiple length works (768px latents: 2304
+    # tokens -> 384-row blocks)
+    block_q = min(block_q, sq) if block_q else snap_block(sq, default_q)
+    block_k = min(block_k, sk) if block_k else snap_block(sk, default_k)
     if (
-        sq % block_q
+        not block_q
+        or not block_k
+        or sq % block_q
         or sk % block_k
         or block_q % LANES
         or block_k % LANES

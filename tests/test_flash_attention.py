@@ -68,3 +68,37 @@ def test_multiblock_accumulation():
     expected = dot_product_attention(q, k, v)
     actual = flash_attention(q, k, v, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=2e-5)
+
+
+def test_snap_block_divisor_policy():
+    from perceptor_tpu.ops.flash_attention_kernel import snap_block
+
+    # power-of-two sequences keep the measured defaults
+    assert snap_block(4096, 1024) == 1024
+    assert snap_block(9216, 1024) == 1024  # 768px level 0 (96*96)
+    # non-power-of-two lane-aligned lengths snap to the largest divisor
+    assert snap_block(2304, 512) == 384  # 768px level 1 (48*48)
+    assert snap_block(2304, 1024) == 768
+    assert snap_block(1152, 512) == 384
+    # not a multiple of the 128-lane width: kernel can't tile it
+    # (incl. 576 = 24*24, 768px level 2 — dispatcher takes the XLA path)
+    assert snap_block(576, 512) is None
+    assert snap_block(1234, 512) is None
+    assert snap_block(77, 512) is None
+
+
+def test_default_blocks_snap_to_non_power_of_two_seq():
+    """768px-latent token counts (2304 = 48*48) crashed the kernel before
+    the divisor snap: the 512-row default did not divide the sequence."""
+    q, k, v = _qkv(s=1152, d=32)  # 128*9 tokens: defaults snap 512 -> 384
+    expected = dot_product_attention(q, k, v)
+    actual = flash_attention(q, k, v)  # no explicit blocks: defaults snap
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_route_rejects_unaligned_seq():
+    from perceptor_tpu.ops.attention import flash_route
+
+    # routing must only say yes when the kernel can actually tile the seq
+    assert not flash_route(1234, 1234)
+    assert not flash_route(77, 77)
