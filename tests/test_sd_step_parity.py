@@ -1,5 +1,11 @@
 """Per-step latent parity against the reference's own Predictions class
-(BASELINE bar: next latents within 1e-3, predicted noise within 5e-3)."""
+(BASELINE bar: next latents within 1e-3, predicted noise within 5e-3).
+
+The three pure-algebra tests (SD / velocity / ADM Predictions vs the
+reference classes on tiny tensors) run in the DEFAULT tier so every
+driver-visible suite run exercises torch parity; only the CompVis-UNet
+end-to-end bar stays behind `-m slow` (it builds the full vendored torch
+UNet)."""
 
 import importlib
 import sys
@@ -81,7 +87,6 @@ def _load_reference_predictions():
     )
 
 
-@pytest.mark.slow
 def test_sd_step_parity_vs_reference_predictions():
     import torch
 
@@ -223,7 +228,6 @@ def test_sd_full_step_parity_with_compvis_unet():
     )
 
 
-@pytest.mark.slow
 def test_velocity_step_parity_vs_reference_predictions():
     """Velocity algebra vs the reference's velocity Predictions class
     (velocity_diffusion/predictions.py:9-180)."""
@@ -295,7 +299,6 @@ def test_velocity_step_parity_vs_reference_predictions():
     )
 
 
-@pytest.mark.slow
 def test_adm_step_parity_vs_reference_predictions():
     """Pixel-space indexed-eps algebra vs the reference's guided_diffusion
     Predictions class."""
