@@ -8,6 +8,7 @@ end-to-end bar stays behind `-m slow` (it builds the full vendored torch
 UNet)."""
 
 import importlib
+import os
 import sys
 import types
 
@@ -24,6 +25,8 @@ REF_ROOT = "/root/reference/perceptor"
 
 def _load_reference_predictions():
     torch = pytest.importorskip("torch")
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference checkout not present")
 
     if "lantern" not in sys.modules:
         lantern = types.ModuleType("lantern")
@@ -88,7 +91,7 @@ def _load_reference_predictions():
 
 
 def test_sd_step_parity_vs_reference_predictions():
-    import torch
+    torch = pytest.importorskip("torch")
 
     ref = _load_reference_predictions()
     alphas_np, sigmas_np = scaled_linear_alphas_sigmas()
@@ -153,7 +156,7 @@ def test_sd_full_step_parity_with_compvis_unet():
     """End-to-end per-step bar (reference stable_diffusion.py:633-658):
     torch CompVis UNet + reference Predictions vs flax UNet + my algebra —
     noise within 5e-3 and next latents within 1e-3 (measured ~1e-5)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     ref = _load_reference_predictions()
     from tests.test_latent_diffusion import _register_reference_ldm
@@ -231,7 +234,7 @@ def test_sd_full_step_parity_with_compvis_unet():
 def test_velocity_step_parity_vs_reference_predictions():
     """Velocity algebra vs the reference's velocity Predictions class
     (velocity_diffusion/predictions.py:9-180)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     _load_reference_predictions()  # installs lantern/torchvision stubs
     for name, path in {
@@ -302,7 +305,7 @@ def test_velocity_step_parity_vs_reference_predictions():
 def test_adm_step_parity_vs_reference_predictions():
     """Pixel-space indexed-eps algebra vs the reference's guided_diffusion
     Predictions class."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     _load_reference_predictions()
     for name, path in {
