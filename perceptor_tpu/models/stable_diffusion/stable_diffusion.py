@@ -632,10 +632,22 @@ class StableDiffusion:
         if init_latents is None:
             init_latents = jnp.zeros_like(latents)
 
+        plan = None
         if mesh is not None:
+            from jax.sharding import NamedSharding
             from perceptor_tpu import parallel
 
-            if latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
+            plan = parallel.plan_for_mesh(mesh)
+            if plan is not None and latents.shape[2] % plan.n_context == 0:
+                # context-parallel: latents sharded over H (and batch over
+                # data when divisible) — the UNet's shard_spatial keeps
+                # this layout through the scan
+                spatial = NamedSharding(
+                    mesh, plan.spatial_spec(4, 2, latents.shape[0])
+                )
+                latents = jax.device_put(latents, spatial)
+                init_latents = jax.device_put(init_latents, spatial)
+            elif latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
                 latents = parallel.shard_batch(latents, mesh)
                 init_latents = parallel.shard_batch(init_latents, mesh)
             else:
@@ -651,22 +663,30 @@ class StableDiffusion:
             int(n_resample), do_replace, int(cache_interval), stochastic,
             str(method),
         )
-        run = self._get_sample_run()
-        if prime:
-            # AOT: trace + compile (persisting into the jax compilation
-            # cache) without executing — first-use latency is a choice
-            run.lower(*run_args).compile()
-            return None
-        return run(*run_args)
+        run = self._get_sample_run(plan)
+        from contextlib import nullcontext
 
-    def _get_sample_run(self):
-        """ONE jitted sampling-scan program per model instance: the static
-        options ride as static_argnums, so jax's own jit cache keys the
-        compiled executables — no per-config wrapper bookkeeping (defining
-        `run` fresh per call would miss that cache and re-trace)."""
-        if "_sample_run" not in self.__dict__:
-            self.__dict__["_sample_run"] = self._build_sample_run()
-        return self.__dict__["_sample_run"]
+        from perceptor_tpu.parallel.plan import context_parallel
+
+        with (context_parallel(plan) if plan is not None else nullcontext()):
+            if prime:
+                # AOT: trace + compile (persisting into the jax compilation
+                # cache) without executing — first-use latency is a choice
+                run.lower(*run_args).compile()
+                return None
+            return run(*run_args)
+
+    def _get_sample_run(self, plan=None):
+        """ONE jitted sampling-scan program per model instance AND
+        context-parallel plan: the static options ride as static_argnums,
+        so jax's own jit cache keys the compiled executables — no
+        per-config wrapper bookkeeping (defining `run` fresh per call
+        would miss that cache and re-trace). The plan must key separately
+        because routing happens at trace time (parallel/plan.py)."""
+        runs = self.__dict__.setdefault("_sample_runs", {})
+        if plan not in runs:
+            runs[plan] = self._build_sample_run()
+        return runs[plan]
 
     def _build_sample_run(self):
         """The jitted sampling-scan program. Generic over everything but

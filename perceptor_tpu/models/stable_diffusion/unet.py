@@ -34,6 +34,7 @@ from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
+from perceptor_tpu.parallel.plan import shard_spatial
 
 
 def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):
@@ -286,6 +287,10 @@ class UNet(nn.Module):
         emb = TimestepEmbedding(time_dim, dtype=self.dtype, name="time_embedding")(emb)
 
         x = latents.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
+        # under a context-parallel plan, pin H to the context axis once at
+        # entry — GSPMD propagates the spatial sharding through the conv
+        # body (3x3 halo exchanges) and into the attention token reshapes
+        x = shard_spatial(x)
         context = context.astype(self.dtype)
 
         x = Conv3x3(channels[0], dtype=self.dtype, name="conv_in")(x)

@@ -68,13 +68,35 @@ def _flash_available() -> bool:
         return False
 
 
+def _context_plan_route(seq_q: int, seq_k: int, heads: int, masked: bool):
+    """(plan, route) under the active context-parallel plan, or (None, None).
+
+    Imported lazily: parallel.plan is dependency-free but the ring/Ulysses
+    modules import this file back."""
+    from perceptor_tpu.parallel.plan import current_plan
+
+    plan = current_plan()
+    if plan is None:
+        return None, None
+    return plan, plan.route(seq_q, seq_k, heads, masked=masked)
+
+
 def flash_route(seq_q: int, seq_k: int, masked: bool = False) -> bool:
     """True when `attention` will take the Pallas flash path for these
     (static) sequence lengths. Exposed so model code can make layout
     decisions that depend on the routing — e.g. emitting head_dim already
     padded to the kernel's 128-lane width from the projection einsum
     (models/attention_proj.py `emit_dim`), which deletes the separate
-    pad/slice copies around every kernel call."""
+    pad/slice copies around every kernel call.
+
+    Under an active context-parallel plan (parallel/plan.py) that routes
+    this shape to the ring, returns False — the ring path uses dense
+    per-shard blocks and wants the true head_dim. (Ring routing is
+    head-count independent, so heads=1 is exact here; any flash-eligible
+    sequence — >=1024, 128-aligned — is also ring-eligible.)"""
+    _, route = _context_plan_route(seq_q, seq_k, 1, masked)
+    if route is not None:
+        return False
     return (
         not masked
         and seq_q >= 1024
@@ -97,10 +119,29 @@ def attention(
 ) -> jax.Array:
     """Dispatching attention entry point.
 
-    Uses the Pallas flash kernel for long unmasked self-attention on TPU
-    (where avoiding the S x S HBM roundtrip matters), XLA otherwise.
+    Under an active context-parallel plan (parallel/plan.py), long
+    self-attention runs as ring attention over the ICI ring and
+    cross-attention as Ulysses head-sharded attention — the model-layer
+    wiring of SURVEY §2.8's context parallelism (the TPU-native analogue
+    of the reference's xformers monkeypatch, reference
+    stable_diffusion.py:68-80). Otherwise uses the Pallas flash kernel
+    for long unmasked self-attention on TPU (where avoiding the S x S
+    HBM roundtrip matters), XLA else.
     """
     seq_q, seq_k = q.shape[-2], k.shape[-2]
+    plan, plan_route = _context_plan_route(
+        seq_q, seq_k, q.shape[1], mask is not None
+    )
+    if plan_route is not None:
+        from perceptor_tpu.parallel.plan import RING
+        from perceptor_tpu.parallel.ring_attention import ring_attention
+        from perceptor_tpu.parallel.ulysses import ulysses_attention
+
+        route_fn = ring_attention if plan_route == RING else ulysses_attention
+        return route_fn(
+            q, k, v, plan.mesh, scale=scale,
+            context_axis=plan.context_axis, batch_axis=plan.batch_axis,
+        )
     if use_flash is None:
         use_flash = flash_route(seq_q, seq_k, masked=mask is not None)
     if use_flash and _flash_available():

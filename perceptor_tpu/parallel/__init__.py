@@ -24,6 +24,13 @@ from perceptor_tpu.parallel.mesh import (
     initialize_distributed,
 )
 from perceptor_tpu.parallel.pipeline import pipeline, pipeline_body
+from perceptor_tpu.parallel.plan import (
+    ContextParallelPlan,
+    context_parallel,
+    current_plan,
+    plan_for_mesh,
+    shard_spatial,
+)
 from perceptor_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
@@ -65,4 +72,9 @@ __all__ = [
     "AXIS_STAGE",
     "pipeline",
     "pipeline_body",
+    "ContextParallelPlan",
+    "context_parallel",
+    "current_plan",
+    "plan_for_mesh",
+    "shard_spatial",
 ]

@@ -1,0 +1,156 @@
+"""Context-parallel plan: routes model-layer attention through the
+ring/Ulysses collectives.
+
+The reference *wires* its memory-efficient attention into the SD forward
+path by monkeypatching the attention classes (reference
+perceptor/models/stable_diffusion/stable_diffusion.py:68-80 installing
+xformers at attention.py:285). The TPU-native analogue is this plan: a
+trace-time routing context that `ops.attention.attention` consults, so
+that under a mesh with a `context` axis every model's self-attention runs
+as ring attention (K/V blocks rotating over the ICI ring,
+parallel/ring_attention.py) and cross-attention as Ulysses head-sharded
+attention (parallel/ulysses.py) — without any model passing a mesh
+through its layers.
+
+Usage::
+
+    mesh = parallel.create_mesh(data=1, context=8)
+    with parallel.context_parallel(mesh):
+        out = unet.apply(params, latents, t, ctx)      # ring/Ulysses inside
+
+or via the model APIs (``StableDiffusion.sample(mesh=...)`` activates the
+plan automatically when the mesh has a context axis of size > 1).
+
+The plan is a frozen (hashable) dataclass so jitted programs can be keyed
+per plan — the SAME model function traced with and without a plan yields
+different programs, and callers must not mix them in one jit cache
+(models/stable_diffusion keys its sampling-scan cache by plan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from contextlib import contextmanager
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from perceptor_tpu.parallel.mesh import AXIS_CONTEXT, AXIS_DATA
+
+RING = "ring"
+ULYSSES = "ulysses"
+
+
+@dataclasses.dataclass(frozen=True)
+class ContextParallelPlan:
+    """Static routing decisions for one mesh.
+
+    ``ring_min_seq``: self-attention sequences at least this long ride the
+    ring (the deep UNet levels' short sequences are cheaper head-sharded —
+    the ring's (n-1) ppermutes of tiny K/V blocks are latency-bound).
+    Shorter self-attention and all cross-attention use Ulysses when the
+    head count divides the context axis; anything else falls through to
+    the XLA path (GSPMD still handles the sharded operands).
+    """
+
+    mesh: Mesh
+    context_axis: str = AXIS_CONTEXT
+    batch_axis: Optional[str] = AXIS_DATA
+    ring_min_seq: int = 1024
+
+    @property
+    def n_context(self) -> int:
+        return self.mesh.shape[self.context_axis]
+
+    def route(
+        self, seq_q: int, seq_k: int, heads: int, masked: bool = False
+    ) -> Optional[str]:
+        """Which collective (if any) serves this attention shape."""
+        if masked or self.n_context <= 1:
+            return None
+        if (
+            seq_q == seq_k
+            and seq_q % self.n_context == 0
+            and seq_q >= self.ring_min_seq
+        ):
+            return RING
+        if heads % self.n_context == 0:
+            return ULYSSES
+        return None
+
+    def spatial_spec(self, ndim: int, h_axis: int, batch: int) -> P:
+        """PartitionSpec sharding spatial dim `h_axis` over the context
+        axis (and dim 0 over the batch axis when it divides)."""
+        data = (
+            self.batch_axis
+            if self.batch_axis in self.mesh.axis_names
+            and batch % self.mesh.shape[self.batch_axis] == 0
+            else None
+        )
+        spec = [None] * ndim
+        spec[0] = data
+        spec[h_axis] = self.context_axis
+        return P(*spec)
+
+
+_local = threading.local()
+
+
+def current_plan() -> Optional[ContextParallelPlan]:
+    """The active plan, or None. Model code reads this at TRACE time — a
+    jitted function must be traced (and re-traced) under the same plan it
+    executes with."""
+    stack = getattr(_local, "stack", None)
+    return stack[-1] if stack else None
+
+
+@contextmanager
+def context_parallel(mesh, **kwargs):
+    """Activate context-parallel routing for attention calls in scope.
+
+    `mesh` is a Mesh (a plan is built with `kwargs`) or an existing
+    ContextParallelPlan.
+    """
+    plan = (
+        mesh
+        if isinstance(mesh, ContextParallelPlan)
+        else ContextParallelPlan(mesh, **kwargs)
+    )
+    stack = getattr(_local, "stack", None)
+    if stack is None:
+        stack = _local.stack = []
+    stack.append(plan)
+    try:
+        yield plan
+    finally:
+        stack.pop()
+
+
+def plan_for_mesh(mesh: Optional[Mesh], **kwargs) -> Optional[ContextParallelPlan]:
+    """Plan for a mesh IF it has a non-trivial context axis, else None —
+    the `sample(mesh=...)` entry-point helper."""
+    if mesh is None or AXIS_CONTEXT not in mesh.axis_names:
+        return None
+    if mesh.shape[AXIS_CONTEXT] <= 1:
+        return None
+    return ContextParallelPlan(mesh, **kwargs)
+
+
+def shard_spatial(x: jax.Array, h_axis: int = 1) -> jax.Array:
+    """Constrain an activation's spatial dim to the context axis under the
+    active plan (no-op without one). For NHWC pass h_axis=1 (the default),
+    for NCHW h_axis=2, for (B, S, C) token layouts h_axis=1.
+
+    One constraint at the model entry is enough — GSPMD propagates the
+    spatial sharding through the conv body (halo exchanges for 3x3 convs)
+    and the token reshape into the attention blocks.
+    """
+    plan = current_plan()
+    if plan is None:
+        return x
+    if x.shape[h_axis] % plan.n_context:
+        return x
+    spec = plan.spatial_spec(x.ndim, h_axis, x.shape[0])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(plan.mesh, spec))

@@ -400,7 +400,7 @@ def test_sd_sample_memo_shared_across_scales(tiny_sd):
     (jax's jit cache keys the executables), traced guidance_scale/eta
     values never retrace."""
     tiny_sd.sample(["a photo"], n_steps=2, size=(16, 16), key=jax.random.PRNGKey(0))
-    run = tiny_sd._sample_run
+    run = tiny_sd._get_sample_run()
     for scale in (1.0, 3.5, 7.0):
         tiny_sd.sample(
             ["a photo"], n_steps=2, size=(16, 16), guidance_scale=scale,
@@ -414,7 +414,7 @@ def test_sd_sample_memo_shared_across_scales(tiny_sd):
         ["a photo"], n_steps=2, size=(16, 16), eta=0.8,
         key=jax.random.PRNGKey(0),
     )
-    assert tiny_sd._sample_run is run  # the one wrapper, never rebuilt
+    assert tiny_sd._get_sample_run() is run  # the one wrapper, never rebuilt
 
 
 def test_sd_sample_mesh_matches_unsharded(tiny_sd):
@@ -446,7 +446,7 @@ def test_sample_prime_aot():
         name="tiny", fp16=False, tokenizer=SimpleTokenizer(merges=[])
     )
     assert model.prime(sizes=((64, 64),), n_steps=2) is None
-    run = model._sample_run
+    run = model._get_sample_run()
     out = model.sample(["a prompt"], n_steps=2, size=(64, 64))
     assert out.shape == (1, 3, 64, 64)
-    assert model._sample_run is run  # same program reused
+    assert model._get_sample_run() is run  # same program reused
