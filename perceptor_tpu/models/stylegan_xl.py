@@ -509,7 +509,12 @@ def convert_stylegan_xl(state_dict: Dict, generator: StyleGANXLGenerator) -> Dic
         }
     if "mapping.w_avg" in sd:
         mapping: Dict = {"w_avg": _np(sd["mapping.w_avg"])}
-        if "mapping.embed.weight" in sd:
+        # conditional snapshots carry embed + embed_proj; UNCONDITIONAL
+        # real snapshots still carry mapping.embed.weight (the reference
+        # MappingNetwork always loads the imagenet embedding table,
+        # networks_stylegan3_resetting.py:155-158) but no embed_proj —
+        # the table is inference-dead there, so key on embed_proj
+        if "mapping.embed_proj.weight" in sd:
             mapping["embed"] = _np(sd["mapping.embed.weight"])
             mapping["embed_proj"] = fc("mapping.embed_proj")
         idx = 0

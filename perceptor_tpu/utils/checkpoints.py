@@ -23,7 +23,7 @@ CACHE_DIRS = (
     os.environ.get("PERCEPTOR_TPU_CACHE", ""),
 )
 
-_SUFFIXES = (".safetensors", ".npz", ".pt", ".pth", ".ckpt", ".bin")
+_SUFFIXES = (".safetensors", ".npz", ".pt", ".pth", ".ckpt", ".bin", ".pkl")
 
 
 def find_checkpoint(*names: str) -> Optional[str]:
@@ -47,11 +47,74 @@ def find_checkpoint(*names: str) -> Optional[str]:
     return None
 
 
+_SNAPSHOT_KEYS = ("G_ema", "G", "generator", "model_ema", "net")
+
+
+def _module_state_dict(obj) -> Optional[Dict[str, np.ndarray]]:
+    """Flat numpy state dict from a pickled nn.Module-like object (has
+    .state_dict()), or None when `obj` isn't one."""
+    state_dict = getattr(obj, "state_dict", None)
+    if not callable(state_dict):
+        return None
+    out = {}
+    for key, value in state_dict().items():
+        out[key] = (
+            value.detach().cpu().float().numpy()
+            if hasattr(value, "detach")
+            else np.asarray(value)
+        )
+    return out
+
+
+def load_network_snapshot(path: str) -> Dict[str, np.ndarray]:
+    """Network-snapshot pickle ({'G_ema': <module>, ...} dill layout, the
+    StyleGAN-XL distribution format — reference
+    perceptor/models/stylegan_xl/stylegan_xl.py:40-45) -> flat numpy
+    state dict of the generator.
+
+    The pickle reconstructs source-embedded module classes, so their
+    import-time dependencies (`torch_utils`, `dnnlib`) must be importable
+    — the reference arranges this with sys.modules injection before the
+    dill.load (stylegan_xl.py:41-43); callers here do the same (or have
+    the packages installed). Falls back from dill to stdlib pickle when
+    dill isn't installed (dill-written files are ordinary pickles unless
+    they needed dill-only features)."""
+    try:
+        import dill as pickler
+    except ImportError:  # dill files are usually plain-pickle readable
+        import pickle as pickler
+    with open(path, "rb") as f:
+        obj = pickler.load(f)
+    if isinstance(obj, dict):
+        for key in _SNAPSHOT_KEYS:
+            if key in obj:
+                obj = obj[key]
+                break
+    sd = _module_state_dict(obj)
+    if sd is None:
+        if isinstance(obj, dict):  # already a raw state dict
+            return {
+                k: (
+                    v.detach().cpu().float().numpy()
+                    if hasattr(v, "detach")
+                    else np.asarray(v)
+                )
+                for k, v in obj.items()
+            }
+        raise ValueError(
+            f"{path}: pickle holds {type(obj).__name__}, expected a module "
+            f"with .state_dict() or a dict (keys tried: {_SNAPSHOT_KEYS})"
+        )
+    return sd
+
+
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a checkpoint into a flat {name: np.ndarray} dict."""
     if path.endswith(".npz"):
         with np.load(path) as data:
             return {k: data[k] for k in data.files}
+    if path.endswith(".pkl"):
+        return load_network_snapshot(path)
     if path.endswith(".safetensors"):
         from perceptor_tpu.utils import native_io
 
