@@ -97,15 +97,24 @@ def build(mesh_spec=None):
     vae_params = cast_matmul_params_bf16(vae_params)
     clip_params = cast_matmul_params_bf16(clip_params)
 
-    alphas, sigmas = scaled_linear_alphas_sigmas()
-    alphas, sigmas = jnp.asarray(alphas), jnp.asarray(sigmas)
-    target = jax.random.normal(jax.random.PRNGKey(2), (1, clip_config.embed_dim))
-    target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
-    mean = jnp.asarray(CLIP_MEAN).reshape(1, 3, 1, 1)
-    std = jnp.asarray(CLIP_STD).reshape(1, 3, 1, 1)
+    import numpy as np
 
-    from_idx = jnp.array([800])
-    to_idx = jnp.array([780])
+    # closure constants stay HOST-side (numpy): a closed-over DEVICE array
+    # must be fetched back through the axon tunnel when .lower() serializes
+    # it as an MLIR constant — measured 7-150 s for the FIRST fetch of a
+    # process (scripts/compile_split.py findings, docs/PERFORMANCE.md
+    # "Compile times"). Host constants serialize from RAM for free.
+    alphas, sigmas = scaled_linear_alphas_sigmas()
+    alphas, sigmas = np.asarray(alphas), np.asarray(sigmas)
+    target = np.random.default_rng(2).normal(size=(1, clip_config.embed_dim))
+    target = (target / np.linalg.norm(target, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
+
+    from_idx = np.array([800])
+    to_idx = np.array([780])
 
     def clip_loss(clip_params, images):
         images = resize(images, out_shape=clip_config.image_size)
@@ -180,7 +189,24 @@ def build(mesh_spec=None):
     return guided_denoise_step, guided_denoise_scan, params, latents, context
 
 
+def _parse_family_arg(argv):
+    for i, arg in enumerate(argv):
+        if arg == "--family" and i + 1 < len(argv):
+            return argv[i + 1]
+        if arg.startswith("--family="):
+            return arg.split("=", 1)[1]
+    return None
+
+
 def main():
+    family = _parse_family_arg(sys.argv[1:])
+    if family is not None:
+        # per-family fused-sampler / guided-config benchmarks
+        # (docs/PERFORMANCE.md "Per-family throughput")
+        import bench_families
+
+        bench_families.main(family, quick=QUICK)
+        return
     mesh_spec = _parse_mesh_arg(sys.argv[1:])
     step, scan, (unet_params, vae_params, clip_params), latents, context = build(
         mesh_spec

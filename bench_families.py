@@ -1,0 +1,308 @@
+"""Per-family performance benchmarks (VERDICT r2 #4).
+
+`python bench.py --family <name>` dispatches here. Each family times its
+FUSED sampler (the one-lax.scan program) or fused guided loop with random
+weights (zero-egress environment — identical FLOPs/memory to pretrained),
+after one warmup call that absorbs compile. Prints ONE JSON line in the
+same shape as the headline bench.
+
+Families (reference 50-step conventions, reference
+perceptor/models/velocity_diffusion/velocity_diffusion.py:177,
+stable_diffusion.py:391, monster_diffusion.py:201-211):
+
+  velocity         yfcc_2 512px, 50-step fused DDIM sample()
+  adm              ADM "standard" 512px, 50-step fused sample()
+  ldm              LDM text2image 256px, 50 steps (built-in CFG)
+  monster          EDM 48px sprites, batch 16, n_evaluations=100
+  raw              config 1: Raw drawer + CLIP ViT-B-32, 256px guided opt
+  dip              config 2: DeepImagePrior + OpenCLIP, 256px guided opt
+  velocity-guided  config 3: yfcc_2 + CLIP guidance, 50 steps at 256px
+  ensemble         config 5: ADM pixelart + BLIP/CLOOB/SLIP stacked losses
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+FAMILIES = (
+    "velocity",
+    "adm",
+    "ldm",
+    "monster",
+    "raw",
+    "dip",
+    "velocity-guided",
+    "ensemble",
+)
+
+
+def _timed(fn, sync):
+    """(compile_s, run_s): first call (with compile), then a steady call."""
+    t0 = time.time()
+    sync(fn())
+    compile_s = time.time() - t0
+    t0 = time.time()
+    sync(fn())
+    return compile_s, time.time() - t0
+
+
+def _sync(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def _random_encodings(loss, dim_probe_size=64, seed=1):
+    """Prompt-bank target without tokenizer assets: a fixed random
+    direction (same compute as a text target)."""
+    dim = loss.model.encode_images(
+        jnp.zeros((1, 3, dim_probe_size, dim_probe_size))
+    ).shape[-1]
+    loss.add_encodings_(
+        jax.random.normal(jax.random.PRNGKey(seed), (1, dim))
+    )
+    return loss
+
+
+def bench_velocity(quick):
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    model = VelocityDiffusion("yfcc_2", fp16=True)
+    n_steps = 3 if quick else 50
+
+    def run():
+        return model.sample(
+            n_images=1, n_steps=n_steps, key=jax.random.PRNGKey(0)
+        )
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "velocity yfcc_2 512px fused 50-step sample",
+        "value": round(n_steps / run_s, 3),
+        "unit": "steps/sec/chip",
+        "images_per_min": round(60.0 / run_s, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_adm(quick):
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+
+    model = GuidedDiffusion("standard", fp16=True)
+    n_steps = 3 if quick else 50
+
+    def run():
+        return model.sample(
+            n_images=1, n_steps=n_steps, key=jax.random.PRNGKey(0)
+        )
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "ADM standard 512px fused 50-step sample",
+        "value": round(n_steps / run_s, 3),
+        "unit": "steps/sec/chip",
+        "images_per_min": round(60.0 / run_s, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_ldm(quick):
+    from perceptor_tpu.models.latent_diffusion import Text2Image
+    from perceptor_tpu.models.latent_diffusion import bert as bert_lib
+
+    try:
+        tokenizer = bert_lib.BERTTokenizer()
+    except FileNotFoundError:  # offline: minimal in-memory vocab
+        tokenizer = bert_lib.BERTTokenizer(
+            vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+            + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        )
+    model = Text2Image(tiny=quick, tokenizer=tokenizer)
+    n_steps = 3 if quick else 50
+    size = (64, 64) if quick else (256, 256)
+
+    def run():
+        return model.sample(
+            ["a"], n_steps=n_steps, size=size, key=jax.random.PRNGKey(0)
+        )
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "LDM text2image 256px fused 50-step sample (built-in CFG)",
+        "value": round(n_steps / run_s, 3),
+        "unit": "steps/sec/chip",
+        "images_per_min": round(60.0 / run_s, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_monster(quick):
+    from perceptor_tpu.models.monster_diffusion import MonsterDiffusion
+
+    model = MonsterDiffusion("all", fp16=True)
+    batch = 2 if quick else 16
+    n_evaluations = 10 if quick else 100
+
+    def run():
+        return model.sample(
+            batch, n_evaluations=n_evaluations, key=jax.random.PRNGKey(0)
+        )
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": f"Monster EDM 48px elucidated sample, batch {batch}, "
+        f"{n_evaluations} evals",
+        "value": round(batch * 60.0 / run_s, 2),
+        "unit": "images/min/chip",
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_raw(quick):
+    import optax
+
+    from perceptor_tpu import drawers, engine, losses
+
+    size = (64, 64) if quick else (256, 256)
+    drawer = drawers.Raw.random_fractal_image((1, 3, *size), seed=0)
+    loss = _random_encodings(losses.CLIP("ViT-B-32"))
+    n_steps = 5 if quick else 100
+
+    def run():
+        params, history = engine.run_on_device(
+            drawer, [loss], drawer.params, n_steps=n_steps,
+            optimizer=optax.adam(0.05),
+        )
+        return history
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "config 1: Raw + CLIP ViT-B-32 guided optimization, 256px",
+        "value": round(n_steps / run_s, 3),
+        "unit": "guided steps/sec/chip",
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_dip(quick):
+    import optax
+
+    from perceptor_tpu import drawers, engine, losses
+
+    size = (64, 64) if quick else (256, 256)
+    drawer = drawers.DeepImagePrior(size=size, seed=0)
+    loss = _random_encodings(losses.OpenCLIP("ViT-B-32", "laion2b_s34b_b79k"))
+    n_steps = 5 if quick else 100
+
+    def run():
+        params, history = engine.run_on_device(
+            drawer, [loss], drawer.params, n_steps=n_steps,
+            optimizer=optax.adam(0.01),
+        )
+        return history
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "config 2: DeepImagePrior + OpenCLIP guided optimization, 256px",
+        "value": round(n_steps / run_s, 3),
+        "unit": "guided steps/sec/chip",
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_velocity_guided(quick):
+    from perceptor_tpu import engine, losses
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    model = VelocityDiffusion("yfcc_2", fp16=True)
+    loss = _random_encodings(losses.CLIP("ViT-B-32"))
+    n_steps = 3 if quick else 50
+    size = 64 if quick else 256
+    diffused = model.random_diffused(
+        (1, 3, size, size), jax.random.PRNGKey(0)
+    )
+    pairs = jnp.asarray(model.schedule_ts(n_steps), jnp.float32)
+
+    def run():
+        final, history = engine.guided_sample(
+            model, [loss], diffused, pairs, guidance_scale=0.5,
+            clamp_value=1e-2,
+        )
+        return history
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "config 3: velocity yfcc_2 + CLIP guidance, 50 steps @256px",
+        "value": round(n_steps / run_s, 3),
+        "unit": "guided steps/sec/chip",
+        "images_per_min": round(60.0 / run_s, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_ensemble(quick):
+    from perceptor_tpu import engine, losses
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+
+    model = GuidedDiffusion("pixelart", fp16=True)
+    ensemble = [
+        _random_encodings(losses.BLIP(), seed=1),
+        _random_encodings(losses.CLOOB(), seed=2),
+        _random_encodings(losses.SLIP(), seed=3),
+    ]
+    n_steps = 3 if quick else 50
+    size = 64 if quick else 256
+    diffused = model.random_diffused(
+        (1, 3, size, size), jax.random.PRNGKey(0)
+    )
+    pairs = jnp.asarray(
+        model.schedule_indices(n_steps=n_steps, rho=3.0)
+    )
+
+    def run():
+        final, history = engine.guided_sample(
+            model, ensemble, diffused, pairs, guidance_scale=0.5,
+            loss_weights=[1.0, 1.0, 1.0], clamp_value=1e-2,
+        )
+        return history
+
+    compile_s, run_s = _timed(run, _sync)
+    return {
+        "metric": "config 5: ADM pixelart + BLIP/CLOOB/SLIP ensemble, "
+        "50 steps @256px",
+        "value": round(n_steps / run_s, 3),
+        "unit": "guided steps/sec/chip",
+        "images_per_min": round(60.0 / run_s, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+BENCHES = {
+    "velocity": bench_velocity,
+    "adm": bench_adm,
+    "ldm": bench_ldm,
+    "monster": bench_monster,
+    "raw": bench_raw,
+    "dip": bench_dip,
+    "velocity-guided": bench_velocity_guided,
+    "ensemble": bench_ensemble,
+}
+
+
+def main(family: str, quick: bool = False) -> dict:
+    if family not in BENCHES:
+        raise SystemExit(
+            f"unknown family {family!r}; choose from {', '.join(FAMILIES)}"
+        )
+    result = BENCHES[family](quick)
+    result["family"] = family
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    fam = sys.argv[1] if len(sys.argv) > 1 else "velocity"
+    main(fam, quick="--quick" in sys.argv)
