@@ -227,6 +227,12 @@ def main():
         )
         return
 
+    # the FIRST device->host fetch of a process pays a one-time tunnel
+    # transfer-path warmup (7-90 s measured, docs/PERFORMANCE.md "Round-3
+    # cold-start diagnosis"); pay it here on 4 floats so the compile and
+    # throughput numbers below measure the program, not the transport
+    _ = float(jnp.sum(latents[0, 0, 0, :4]))
+
     # 30 steps: long enough that the fixed per-dispatch RPC overhead of the
     # remote-TPU tunnel (~46 ms, docs/PERFORMANCE.md "MFU") is <2% of the
     # measurement, i.e. the number reflects the device rate
