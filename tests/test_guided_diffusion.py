@@ -72,6 +72,20 @@ def _parity(cfg, image_size, atol=2e-4):
     np.testing.assert_allclose(np.asarray(actual), expected, atol=atol)
 
 
+@pytest.mark.parity_smoke
+def test_parity_smoke_small():
+    """Default-tier ADM parity: a 32-channel config (the reference's
+    GroupNorm(32) floor) vs its vendored UNetModel, same rename path as
+    the full checkpoints — the family's driver-visible regression canary
+    (VERDICT r2 #8)."""
+    cfg = adm_config.ADMConfig(
+        image_size=32, model_channels=32, channel_mult=(1, 2),
+        num_res_blocks=1, attention_ds=(2,), num_head_channels=8,
+        use_scale_shift_norm=True, resblock_updown=True,
+    )
+    _parity(cfg, 32)
+
+
 @pytest.mark.slow
 def test_parity_pixelart():
     _parity(adm_config.PIXELART, 64)

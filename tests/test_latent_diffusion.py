@@ -55,6 +55,7 @@ def _register_reference_ldm():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_parity_ldm_unet_spatial_transformer():
     import torch
 
@@ -112,6 +113,7 @@ def test_parity_ldm_unet_spatial_transformer():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_parity_compvis_autoencoder():
     import torch
 

@@ -52,6 +52,7 @@ def test_fir_resample_parity():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_parity_monster_model():
     import torch
 

@@ -152,6 +152,7 @@ def test_sd_step_parity_vs_reference_predictions():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_sd_full_step_parity_with_compvis_unet():
     """End-to-end per-step bar (reference stable_diffusion.py:633-658):
     torch CompVis UNet + reference Predictions vs flax UNet + my algebra —

@@ -40,6 +40,7 @@ def _register_reference():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_parity_synthesis_network():
     import torch
 

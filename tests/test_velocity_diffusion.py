@@ -66,6 +66,7 @@ def test_parity_yfcc_2():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 def test_parity_wikiart():
     ref = load_reference_module("wikiart_256")
     _parity(ref.WikiArt256Model(), configs.WIKIART, 64)

@@ -81,6 +81,7 @@ def _fake_models():
 
 
 @pytest.mark.slow
+@pytest.mark.parity_smoke
 @pytest.mark.parametrize("method", ["plms", "prk"])
 def test_pndm_parity_vs_reference(method):
     torch, sampling = _load_reference_sampling()
