@@ -238,16 +238,29 @@ def guided_sample(
 
     mparams = model.params
     latents = initial_latents
+    plan = None
     if mesh is not None:
+        from jax.sharding import NamedSharding
         from perceptor_tpu import parallel
 
         shard_kwargs = {} if rules is None else {"rules": rules}
+        plan = parallel.plan_for_mesh(mesh)
         mparams = parallel.shard_params(mparams, mesh, **shard_kwargs)
         loss_frozen = tuple(
             parallel.shard_params(lp, mesh, **shard_kwargs) if lp is not None else None
             for lp in loss_frozen
         )
-        if latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
+        if plan is not None and latents.shape[2] % plan.n_context == 0:
+            # context-parallel: latents sharded spatially (H over the
+            # context axis); the plan routes the model's attention
+            # through ring/Ulysses at trace time (parallel/plan.py)
+            latents = jax.device_put(
+                latents,
+                NamedSharding(
+                    mesh, plan.spatial_spec(latents.ndim, 2, latents.shape[0])
+                ),
+            )
+        elif latents.shape[0] % mesh.shape[parallel.AXIS_DATA] == 0:
             latents = parallel.shard_batch(latents, mesh)
         else:
             latents = parallel.replicate(latents, mesh)
@@ -273,6 +286,7 @@ def guided_sample(
             int(n_resample), threshold, float(threshold_quantile), stochastic,
             float(clamp_value), use_cfg, loss_images,
             id(image_augment) if image_augment is not None else None,
+            plan,  # trace-time attention routing differs per plan
         )
         runs = model.__dict__.setdefault("_guided_runs", {})
         entry = runs.get(run_key)
@@ -295,12 +309,17 @@ def guided_sample(
             while len(runs) >= _GUIDED_MEMO_MAX:
                 runs.pop(next(iter(runs)))
             runs[run_key] = (run, tuple(losses), image_augment)
-    return run(
-        mparams, latents, pairs, loss_frozen,
-        (conditioning, uncond_conditioning) if use_cfg else conditioning,
-        key, jnp.float32(guidance_scale), jnp.float32(eta),
-        jnp.float32(cfg_scale),
-    )
+    from contextlib import nullcontext
+
+    from perceptor_tpu.parallel.plan import context_parallel
+
+    with (context_parallel(plan) if plan is not None else nullcontext()):
+        return run(
+            mparams, latents, pairs, loss_frozen,
+            (conditioning, uncond_conditioning) if use_cfg else conditioning,
+            key, jnp.float32(guidance_scale), jnp.float32(eta),
+            jnp.float32(cfg_scale),
+        )
 
 
 def export_guided_sample(

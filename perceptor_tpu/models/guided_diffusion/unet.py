@@ -29,6 +29,7 @@ from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU, ScaleShiftGroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
+from perceptor_tpu.parallel.plan import shard_spatial
 
 
 def group_norm(x, name: str):
@@ -170,6 +171,7 @@ class ADMUNet(nn.Module):
                 return _attn_cls(n_heads, dtype=dtype, name=name)
 
         x = xs.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
+        x = shard_spatial(x)  # context-parallel plan: pin H to the context axis
         ch = int(cfg.channel_mult[0] * cfg.model_channels)
         x = Conv3x3(ch, dtype=self.dtype, name="input_blocks_0_0")(x)
         skips = [x]

@@ -22,6 +22,7 @@ from perceptor_tpu.ops.attention import attention
 from perceptor_tpu.ops.conv_matmul import Conv3x3
 from perceptor_tpu.ops.groupnorm import GroupNormSiLU
 from perceptor_tpu.ops.upsample_conv import nearest_upsample_2x
+from perceptor_tpu.parallel.plan import shard_spatial
 
 
 def group_norm(x, name: str):
@@ -172,6 +173,7 @@ class AutoencoderKL(nn.Module):
     def moments(self, images):
         """images NCHW [0,1] -> (mean, logvar) of the latent posterior."""
         x = (images * 2.0 - 1.0).transpose(0, 2, 3, 1).astype(self.dtype)
+        x = shard_spatial(x)  # context-parallel plan: spatial sharding
         h = self.quant_conv(self.encoder(x))
         mean, logvar = jnp.split(h.transpose(0, 3, 1, 2).astype(jnp.float32), 2, axis=1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
@@ -190,6 +192,7 @@ class AutoencoderKL(nn.Module):
         """latents NCHW (scaled) -> images NCHW [0,1]
         (reference stable_diffusion.py:194-198)."""
         x = (latents / self.config.scaling_factor).transpose(0, 2, 3, 1)
+        x = shard_spatial(x)  # context-parallel plan: spatial sharding
         x = self.post_quant_conv(x.astype(self.dtype))
         x = self.decoder(x)
         images = (x.transpose(0, 3, 1, 2).astype(jnp.float32) + 1.0) / 2.0

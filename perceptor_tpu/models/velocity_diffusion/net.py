@@ -25,6 +25,7 @@ from perceptor_tpu.models.attention_proj import HeadMergeProj, HeadProj
 from perceptor_tpu.models.velocity_diffusion.configs import VNetConfig
 from perceptor_tpu.ops.attention import attention, flash_route
 from perceptor_tpu.ops.groupnorm import fused_group_norm_act
+from perceptor_tpu.parallel.plan import shard_spatial
 
 
 class FourierFeatures(nn.Module):
@@ -212,6 +213,7 @@ class VDiffusionUNet(nn.Module):
                                    name="timestep_embed")(t_input[:, None])
 
         x = xs.transpose(0, 2, 3, 1).astype(self.dtype)  # NCHW -> NHWC
+        x = shard_spatial(x)  # context-parallel plan: pin H to the context axis
         n, h, w, _ = x.shape
         t_planes = jnp.broadcast_to(
             t_planes[:, None, None, :].astype(self.dtype),

@@ -109,6 +109,85 @@ def test_attention_routes_under_plan():
     np.testing.assert_allclose(routed, expected, atol=1e-5)
 
 
+def test_adm_and_velocity_context_parallel_fwd_parity():
+    """The pixel-space families route through the same plan: tiny ADM and
+    velocity nets match unsharded under a context-axis mesh (attention
+    via the plan, conv body spatially sharded)."""
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    mesh = parallel.create_mesh(data=1, context=8)
+    rng = np.random.default_rng(5)
+
+    adm = GuidedDiffusion("tiny", fp16=False)
+    adm_params = parallel.replicate(adm.params, mesh)
+    xs = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    with parallel.context_parallel(mesh, ring_min_seq=256):
+        # fresh jit (the wrapper's cached _jit fns were traced plan-free)
+        sharded = np.asarray(
+            jax.jit(
+                lambda p, x: adm.module.apply({"params": p}, x, jnp.full((2,), 500.0))
+            )(adm_params, xs)
+        )
+    # the wrapper output slices learn_sigma channels; compare raw net
+    expected_raw = np.asarray(
+        jax.jit(
+            lambda p, x: adm.module.apply({"params": p}, x, jnp.full((2,), 500.0))
+        )(adm.params, xs)
+    )
+    np.testing.assert_allclose(sharded, expected_raw, atol=2e-5)
+
+    vel = VelocityDiffusion("tiny", fp16=False)
+    vel_params = parallel.replicate(vel.params, mesh)
+    xs = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    ts = jnp.asarray([0.5, 0.7], jnp.float32)
+    base = np.asarray(
+        jax.jit(lambda p, x, t: vel.module.apply({"params": p}, x, t))(
+            vel.params, xs, ts
+        )
+    )
+    with parallel.context_parallel(mesh, ring_min_seq=256):
+        sharded = np.asarray(
+            jax.jit(lambda p, x, t: vel.module.apply({"params": p}, x, t))(
+                vel_params, xs, ts
+            )
+        )
+    np.testing.assert_allclose(sharded, base, atol=2e-5)
+
+
+def test_guided_sample_accepts_context_mesh():
+    """engine.guided_sample under a context-axis mesh: the guided loop
+    (UNet + VAE decode + loss VJP + guided step) runs context-parallel
+    and matches the single-device result."""
+    import jax.numpy as jnp
+
+    from perceptor_tpu import engine
+
+    model = _tiny_sd()
+    mesh = parallel.create_mesh(data=1, context=4, devices=jax.devices()[:4])
+
+    def loss(images):
+        return jnp.mean(jnp.square(images - 0.5))
+
+    latents = model.random_diffused_latents((1, 64, 64), jax.random.PRNGKey(3))
+    pairs = model.schedule_indices(3)
+    base, base_hist = engine.guided_sample(
+        model, [loss], latents, pairs,
+        conditioning=jnp.zeros((1, 8, model.unet_config.context_dim)),
+        guidance_scale=0.5, clamp_value=1e-2, key=jax.random.PRNGKey(4),
+    )
+    cp, cp_hist = engine.guided_sample(
+        model, [loss], latents, pairs,
+        conditioning=jnp.zeros((1, 8, model.unet_config.context_dim)),
+        guidance_scale=0.5, clamp_value=1e-2, key=jax.random.PRNGKey(4),
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(base), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(cp_hist), np.asarray(base_hist), atol=1e-4
+    )
+
+
 def test_sample_accepts_context_mesh():
     """`sample(mesh=...)` with a context axis runs the whole sampling scan
     context-parallel (VERDICT done-criterion (c))."""
