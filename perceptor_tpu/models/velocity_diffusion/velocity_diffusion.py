@@ -64,7 +64,12 @@ class VelocityDiffusion:
                 else convert.from_torch(sd, self.config)
             )
             return jax.device_put(params, jax.devices()[0])
-        size = min(self.config.image_size[0], 64)
+        # cheap init size, but never below what the level count can pool:
+        # n levels halve the map n-1 times, so the innermost level needs
+        # size / 2^(n-1) >= 1 (yfcc's 8 levels at the old 64px floor hit a
+        # zero-sized map — caught by bench.py --family velocity)
+        min_size = 2 ** (len(self.config.channels) - 1)
+        size = min(self.config.image_size[0], max(64, min_size))
         kwargs = {}
         if self.conditioned:
             kwargs["clip_embed"] = jnp.zeros((1, self.config.mapping.clip_dim))

@@ -221,3 +221,17 @@ def test_fused_sample_mesh_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(expected), atol=1e-4
     )
+
+
+def test_yfcc_full_config_constructs_and_traces_native_shape():
+    """Regression (caught by bench.py --family velocity): the random-init
+    path downsized its init input to 64px, but yfcc's 8 levels pool the
+    map 7 times — 64/2^7 = 0 rows at the innermost level. Construction
+    must succeed and the module must trace at the native 512px shape."""
+    model = VelocityDiffusion("yfcc_2", fp16=False)
+    out = jax.eval_shape(
+        lambda p, d: model.module.apply({"params": p}, d, jnp.zeros((1,))),
+        model.params,
+        jnp.zeros((1, *model.shape)),
+    )
+    assert out.shape == (1, *model.shape)
