@@ -170,11 +170,12 @@ def bench_raw(quick):
     drawer = drawers.Raw.random_fractal_image((1, 3, *size), seed=0)
     loss = _random_encodings(losses.CLIP("ViT-B-32"))
     n_steps = 5 if quick else 100
+    optimizer = optax.adam(0.05)  # one object: run_on_device memoizes on it
 
     def run():
         params, history = engine.run_on_device(
             drawer, [loss], drawer.params, n_steps=n_steps,
-            optimizer=optax.adam(0.05),
+            optimizer=optimizer,
         )
         return history
 
@@ -196,11 +197,12 @@ def bench_dip(quick):
     drawer = drawers.DeepImagePrior(size=size, seed=0)
     loss = _random_encodings(losses.OpenCLIP("ViT-B-32", "laion2b_s34b_b79k"))
     n_steps = 5 if quick else 100
+    optimizer = optax.adam(0.01)  # one object: run_on_device memoizes on it
 
     def run():
         params, history = engine.run_on_device(
             drawer, [loss], drawer.params, n_steps=n_steps,
-            optimizer=optax.adam(0.01),
+            optimizer=optimizer,
         )
         return history
 

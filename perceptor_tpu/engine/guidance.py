@@ -23,6 +23,7 @@ import optax
 
 
 _GUIDED_MEMO_MAX = 8  # compiled guided runs kept per model instance
+_RUN_ON_DEVICE_MEMO: dict = {}  # compiled whole-loop runs (run_on_device)
 
 
 def _gather_frozen(synthesize, losses):
@@ -506,6 +507,25 @@ def run_on_device(
     synth_fn, synth_frozen, loss_fns, loss_frozen = _gather_frozen(
         synthesize, losses
     )
+    # Memoize the compiled loop per (drawer, losses, weights, steps,
+    # optimizer) — a fresh @jax.jit closure per call would re-trace the
+    # WHOLE n_steps scan on every invocation (seconds of host time that
+    # also poisons throughput measurements; caught by bench.py --family
+    # raw). Pure-protocol losses only (same rule as guided_sample); the
+    # memo holds strong refs so keyed id()s can't be recycled. NOTE:
+    # construct the optimizer ONCE and reuse it across calls — a fresh
+    # optax.adam(...) is a new key.
+    memoizable = all(fn is not None for fn in loss_fns)
+    memo_key = (
+        id(synthesize), tuple(id(l) for l in losses), tuple(weights),
+        int(n_steps), id(optimizer),
+    )
+    if memoizable:
+        entry = _RUN_ON_DEVICE_MEMO.get(memo_key)
+        if entry is not None and entry[1][0] is synthesize and all(
+            a is b for a, b in zip(entry[1][1], losses)
+        ) and entry[1][2] is optimizer:
+            return entry[0](params, (synth_frozen, loss_frozen))
     synth_plain = (
         synthesize.synthesize if hasattr(synthesize, "synthesize") else synthesize
     )
@@ -544,4 +564,10 @@ def run_on_device(
         )
         return params, losses_history
 
+    if memoizable:
+        while len(_RUN_ON_DEVICE_MEMO) >= _GUIDED_MEMO_MAX:
+            _RUN_ON_DEVICE_MEMO.pop(next(iter(_RUN_ON_DEVICE_MEMO)))
+        _RUN_ON_DEVICE_MEMO[memo_key] = (
+            run, (synthesize, tuple(losses), optimizer)
+        )
     return run(params, (synth_frozen, loss_frozen))
