@@ -113,14 +113,15 @@ def bench_ldm(quick):
     from perceptor_tpu.models.latent_diffusion import Text2Image
     from perceptor_tpu.models.latent_diffusion import bert as bert_lib
 
+    model = Text2Image(tiny=quick)
     try:
-        tokenizer = bert_lib.BERTTokenizer()
+        model.tokenizer  # noqa: B018 — probes the vocab file
     except FileNotFoundError:  # offline: minimal in-memory vocab
-        tokenizer = bert_lib.BERTTokenizer(
+        model._tokenizer = bert_lib.BERTTokenizer(
             vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
-            + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+            + [chr(c) for c in range(ord("a"), ord("z") + 1)],
+            max_length=model.bert_config.max_seq_len,
         )
-    model = Text2Image(tiny=quick, tokenizer=tokenizer)
     n_steps = 3 if quick else 50
     size = (64, 64) if quick else (256, 256)
 

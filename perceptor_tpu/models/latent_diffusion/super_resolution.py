@@ -250,16 +250,20 @@ class SuperResolution:
                     mesh, params, latents, pairs, cond, scan_key, rules=rules
                 )
             )
+        from perceptor_tpu.parallel.plan import activate, plan_for_mesh
+
+        plan = plan_for_mesh(mesh) if mesh is not None else None
         stochastic = float(eta) > 0.0
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get((stochastic, method))
+        run = runs.get((stochastic, method, plan))
         if run is None:
             run = self._build_sample_run(stochastic, method)
-            runs[(stochastic, method)] = run
-        return run(
-            params, latents, pairs, cond, scan_key, jnp.float32(0.0),
-            jnp.float32(eta),
-        )
+            runs[(stochastic, method, plan)] = run
+        with activate(plan):  # trace-time ring/Ulysses attention routing
+            return run(
+                params, latents, pairs, cond, scan_key, jnp.float32(0.0),
+                jnp.float32(eta),
+            )
 
     def _build_sample_run(self, stochastic, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination

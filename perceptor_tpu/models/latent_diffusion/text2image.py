@@ -323,18 +323,22 @@ class Text2Image:
                     mesh, params, latents, pairs, cond, scan_key, rules=rules
                 )
             )
+        from perceptor_tpu.parallel.plan import activate, plan_for_mesh
+
+        plan = plan_for_mesh(mesh) if mesh is not None else None
         stochastic = float(eta) > 0.0
         use_cfg = not (guidance_scale is None or guidance_scale == 1.0)
         runs = self.__dict__.setdefault("_sample_runs", {})
-        run = runs.get((stochastic, use_cfg, method))
+        run = runs.get((stochastic, use_cfg, method, plan))
         if run is None:
             run = self._build_sample_run(stochastic, use_cfg, method)
-            runs[(stochastic, use_cfg, method)] = run
-        return run(
-            params, latents, pairs, cond, scan_key,
-            jnp.float32(1.0 if guidance_scale is None else guidance_scale),
-            jnp.float32(eta),
-        )
+            runs[(stochastic, use_cfg, method, plan)] = run
+        with activate(plan):  # trace-time ring/Ulysses attention routing
+            return run(
+                params, latents, pairs, cond, scan_key,
+                jnp.float32(1.0 if guidance_scale is None else guidance_scale),
+                jnp.float32(eta),
+            )
 
     def _build_sample_run(self, stochastic, use_cfg, method="ddim"):
         """Jitted scan for `sample()`'s static flag combination

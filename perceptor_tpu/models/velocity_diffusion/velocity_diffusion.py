@@ -273,13 +273,16 @@ class VelocityDiffusion:
                 )
             )
 
+        from perceptor_tpu.parallel.plan import activate, plan_for_mesh
+
+        plan = plan_for_mesh(mesh) if mesh is not None else None
         runs = self.__dict__.setdefault("_sample_runs", {})
         if method != "ddim":
             if eta or churn or correction:
                 raise ValueError(
                     f"{method} is deterministic: eta/churn/correction do not apply"
                 )
-            run_key = (method, conditioning is not None)
+            run_key = (method, conditioning is not None, plan)
             run = runs.get(run_key)
             if run is None:
                 build = (
@@ -289,21 +292,24 @@ class VelocityDiffusion:
                 )
                 run = build()
                 runs[run_key] = run
-            return run(params, diffused, pairs, conditioning)
+            with activate(plan):
+                return run(params, diffused, pairs, conditioning)
 
         stochastic = float(eta) > 0.0
         do_churn = float(churn) > 0.0
         run_key = (
-            stochastic, do_churn, bool(correction), conditioning is not None
+            stochastic, do_churn, bool(correction), conditioning is not None,
+            plan,
         )
         run = runs.get(run_key)
         if run is None:
             run = self._build_sample_run(stochastic, do_churn, bool(correction))
             runs[run_key] = run
-        return run(
-            params, diffused, pairs, conditioning, scan_key,
-            jnp.float32(eta), jnp.float32(churn),
-        )
+        with activate(plan):  # trace-time ring/Ulysses attention routing
+            return run(
+                params, diffused, pairs, conditioning, scan_key,
+                jnp.float32(eta), jnp.float32(churn),
+            )
 
     def export_sample(
         self,

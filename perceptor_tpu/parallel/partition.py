@@ -122,11 +122,23 @@ def shard_for_sampling(mesh: Mesh, params, latents, *replicated, rules=None):
     params placed by the tensor-parallel rules (leaves no rule matches —
     or that don't divide — are replicated), the latent batch sharded over
     the data axis when divisible (replicated otherwise), everything else
-    replicated. Returns ``(params, latents, *replicated)``; None entries
-    pass through."""
+    replicated. Under a mesh with a context axis (parallel/plan.py) the
+    latents shard SPATIALLY (H over context) instead, feeding the
+    context-parallel attention routing. Returns
+    ``(params, latents, *replicated)``; None entries pass through."""
+    from perceptor_tpu.parallel.plan import plan_for_mesh
+
     kwargs = {} if rules is None else {"rules": rules}
     params = shard_params(params, mesh, **kwargs)
-    if latents.shape[0] % mesh.shape[AXIS_DATA] == 0:
+    plan = plan_for_mesh(mesh)
+    if (
+        plan is not None
+        and latents.ndim >= 3
+        and latents.shape[2] % plan.n_context == 0
+    ):
+        spec = plan.spatial_spec(latents.ndim, 2, latents.shape[0])
+        latents = jax.device_put(latents, NamedSharding(mesh, spec))
+    elif latents.shape[0] % mesh.shape[AXIS_DATA] == 0:
         latents = shard_batch(latents, mesh)
     else:
         latents = replicate(latents, mesh)

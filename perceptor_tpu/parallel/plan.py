@@ -128,6 +128,15 @@ def context_parallel(mesh, **kwargs):
         stack.pop()
 
 
+def activate(plan: Optional[ContextParallelPlan]):
+    """The plan's scope as a context manager, or a no-op for None — the
+    one-liner family samplers wrap their memoized run call in (the run
+    memo must key on the plan, since routing happens at trace time)."""
+    from contextlib import nullcontext
+
+    return context_parallel(plan) if plan is not None else nullcontext()
+
+
 def plan_for_mesh(mesh: Optional[Mesh], **kwargs) -> Optional[ContextParallelPlan]:
     """Plan for a mesh IF it has a non-trivial context axis, else None —
     the `sample(mesh=...)` entry-point helper."""

@@ -249,16 +249,17 @@ def certify_ldm(out_dir: str, steps: int, quick: bool, parity: bool) -> dict:
     from perceptor_tpu.models.latent_diffusion import Text2Image
     from perceptor_tpu.models.latent_diffusion import bert as bert_lib
 
+    model = Text2Image(tiny=quick)
     try:
-        tokenizer = bert_lib.BERTTokenizer()
+        model.tokenizer  # probes the vocab file
     except FileNotFoundError:
         # offline: minimal in-memory vocab (same compute path; real vocab
         # drops into models/bert-base-uncased-vocab.txt later)
-        tokenizer = bert_lib.BERTTokenizer(
+        model._tokenizer = bert_lib.BERTTokenizer(
             vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
-            + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+            + [chr(c) for c in range(ord("a"), ord("z") + 1)],
+            max_length=model.bert_config.max_seq_len,
         )
-    model = Text2Image(tiny=quick, tokenizer=tokenizer)
     t0 = time.time()
     images = model.sample(
         ["a virus monster is playing guitar, oil on canvas"],

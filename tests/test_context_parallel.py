@@ -203,3 +203,35 @@ def test_sample_accepts_context_mesh():
     np.testing.assert_allclose(
         np.asarray(images), np.asarray(baseline), atol=5e-4
     )
+
+
+def test_family_samplers_accept_context_mesh():
+    """Every family sampler that takes mesh= activates the plan: tiny
+    ADM, velocity, and LDM text2image sample() under a context-axis mesh
+    match their single-device outputs."""
+    from perceptor_tpu.models.guided_diffusion import GuidedDiffusion
+    from perceptor_tpu.models.latent_diffusion import Text2Image
+    from perceptor_tpu.models.latent_diffusion import bert as bert_lib
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    mesh = parallel.create_mesh(data=1, context=4, devices=jax.devices()[:4])
+    key = jax.random.PRNGKey(6)
+
+    adm = GuidedDiffusion("tiny", fp16=False)
+    base = adm.sample(n_images=1, n_steps=2, key=key)
+    cp = adm.sample(n_images=1, n_steps=2, key=key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(base), atol=5e-4)
+
+    vel = VelocityDiffusion("tiny", fp16=False)
+    base = vel.sample(n_images=1, n_steps=2, key=key)
+    cp = vel.sample(n_images=1, n_steps=2, key=key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(base), atol=5e-4)
+
+    ldm = Text2Image(tiny=True, fp16=False)
+    ldm._tokenizer = bert_lib.BERTTokenizer(
+        vocab=["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a"],
+        max_length=ldm.bert_config.max_seq_len,
+    )
+    base = ldm.sample(["a"], n_steps=2, size=(64, 64), key=key)
+    cp = ldm.sample(["a"], n_steps=2, size=(64, 64), key=key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(base), atol=5e-4)
