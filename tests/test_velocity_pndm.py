@@ -136,8 +136,8 @@ def test_tiny_model_plms_prk_sample():
         assert images.shape == (2, *model.shape)
         assert bool(jnp.all(jnp.isfinite(images)))
     # memoized: second call reuses the compiled run
-    assert ("plms", False) in model._sample_runs
-    assert ("prk", False) in model._sample_runs
+    assert ("plms", False, None) in model._sample_runs
+    assert ("prk", False, None) in model._sample_runs
 
 
 def test_tiny_model_reverse_sample():
