@@ -39,6 +39,7 @@ _FAMILIES = (
     "latent-face",
     "latent-super-resolution",
     "open-clip",
+    "simulacra-aesthetic",
 )
 
 _DEFAULT_NAMES = {
@@ -50,6 +51,7 @@ _DEFAULT_NAMES = {
     "latent-face": "celebahq-ldm-vq-4",
     "latent-super-resolution": "sharpen-colab",
     "open-clip": "ViT-B-32/openai",
+    "simulacra-aesthetic": "ViT-B-32",
 }
 
 
@@ -72,6 +74,8 @@ def canonical_basename(family: str, name: str) -> str:
     if family == "open-clip":
         arch, _, weights = name.partition("/")
         return f"open_clip_{arch}_{weights}"
+    if family == "simulacra-aesthetic":
+        return f"simulacra_{name}"
     raise ValueError(f"unknown family {family!r}; choose from {_FAMILIES}")
 
 
@@ -117,6 +121,10 @@ def _construct(family: str, name: str):
 
         arch, _, weights = name.partition("/")
         return _fresh(OpenCLIP, arch, weights, precision="fp32")
+    if family == "simulacra-aesthetic":
+        from perceptor_tpu.models.simulacra_aesthetic import SimulacraAesthetic
+
+        return _fresh(SimulacraAesthetic, name)
     raise ValueError(f"unknown family {family!r}; choose from {_FAMILIES}")
 
 
