@@ -24,6 +24,11 @@ from perceptor_tpu.predictions import diffusion_space
 from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
 from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
 
+# celebahq-ldm-vq-4.yaml model.params schedule
+TIMESTEPS = 1000
+LINEAR_START = 0.0015
+LINEAR_END = 0.0195
+
 FACE_UNET = ADMConfig(
     image_size=64,
     model_channels=224,
@@ -57,7 +62,9 @@ class Face:
         self.unet = ADMUNet(self.unet_config, dtype=dtype)
         self.first_stage = VQModel(self.vq_config, dtype=dtype)
 
-        alphas, sigmas = scaled_linear_alphas_sigmas(1000, 0.0015, 0.0195)
+        alphas, sigmas = scaled_linear_alphas_sigmas(
+            TIMESTEPS, LINEAR_START, LINEAR_END
+        )
         self.schedule_alphas = jnp.asarray(alphas)
         self.schedule_sigmas = jnp.asarray(sigmas)
 

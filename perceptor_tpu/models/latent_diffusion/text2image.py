@@ -27,6 +27,14 @@ from perceptor_tpu.predictions import diffusion_space
 from perceptor_tpu.schedules import scaled_linear_alphas_sigmas
 from perceptor_tpu.utils.checkpoints import find_checkpoint, load_state_dict
 
+# txt2img-1p4B-eval.yaml model.params: the LDM "linear" schedule is
+# linear in sqrt(beta) space (ddpm.py make_beta_schedule), identical to
+# SD's scaled-linear. scale_factor applied via vae_config.scaling_factor.
+TIMESTEPS = 1000
+LINEAR_START = 0.00085
+LINEAR_END = 0.012
+SCALE_FACTOR = 0.18215
+
 TXT2IMG_UNET = ADMConfig(
     image_size=32,
     model_channels=320,
@@ -76,16 +84,17 @@ class Text2Image:
         import dataclasses
 
         base_vae = TINY_VAE if tiny else SD_V1_VAE
-        self.vae_config = dataclasses.replace(base_vae, scaling_factor=0.18215)
+        self.vae_config = dataclasses.replace(
+            base_vae, scaling_factor=SCALE_FACTOR
+        )
         self.unet = ADMUNet(self.unet_config, dtype=dtype)
         self.first_stage = AutoencoderKL(self.vae_config, dtype=dtype)
         self.bert = bert_lib.BERTEncoder(self.bert_config, dtype=dtype)
         self._tokenizer = tokenizer
 
-        # txt2img-1p4B: linear_start 0.00085, linear_end 0.012 — the LDM
-        # "linear" schedule is linear in sqrt(beta) space (ddpm.py
-        # make_beta_schedule), identical to SD's scaled-linear.
-        alphas, sigmas = scaled_linear_alphas_sigmas(1000, 0.00085, 0.012)
+        alphas, sigmas = scaled_linear_alphas_sigmas(
+            TIMESTEPS, LINEAR_START, LINEAR_END
+        )
         self.schedule_alphas = jnp.asarray(alphas)
         self.schedule_sigmas = jnp.asarray(sigmas)
 
