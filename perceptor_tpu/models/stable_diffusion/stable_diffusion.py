@@ -516,6 +516,7 @@ class StableDiffusion:
         rules=None,
         prime: bool = False,
         method: str = "ddim",
+        verbose: bool = False,
     ) -> jax.Array:
         """Text -> images as ONE compiled program (lax.scan over the
         schedule). Functional replacement for the reference's host-side
@@ -595,7 +596,7 @@ class StableDiffusion:
             params, latents, pairs, uncond, cond, guidance_scale, eta,
             scan_key, n_resample=n_resample, init_latents=init_latents,
             replace_diffused=replace_diffused, cache_interval=cache_interval,
-            mesh=mesh, prime=prime, method=method,
+            mesh=mesh, prime=prime, method=method, verbose=verbose,
         )
         if prime:
             # compile (and warm) the decode program for this latent shape
@@ -607,7 +608,7 @@ class StableDiffusion:
         self, params, latents, pairs, uncond, cond, guidance_scale, eta, key,
         n_resample: int = 0, init_latents=None, replace_diffused: bool = False,
         cache_interval: int = 1, mesh=None, prime: bool = False,
-        method: str = "ddim",
+        method: str = "ddim", verbose: bool = False,
     ):
         if cache_interval > 1 and n_resample > 0:
             raise ValueError("cache_interval and n_resample are incompatible")
@@ -663,18 +664,35 @@ class StableDiffusion:
             int(n_resample), do_replace, int(cache_interval), stochastic,
             str(method),
         )
-        run = self._get_sample_run(plan)
         from contextlib import nullcontext
 
-        from perceptor_tpu.parallel.plan import context_parallel
+        from perceptor_tpu.parallel.plan import context_parallel, record_routing
 
-        with (context_parallel(plan) if plan is not None else nullcontext()):
+        if verbose:
+            # routing decisions are made at TRACE time: a memoized run that
+            # already compiled would be a silent jit-cache hit, so build a
+            # fresh program (the persistent compile cache still absorbs the
+            # XLA cost — only tracing repeats)
+            run = self._build_sample_run()
+            recorder = record_routing()
+        else:
+            run = self._get_sample_run(plan)
+            recorder = nullcontext()
+
+        with (
+            context_parallel(plan) if plan is not None else nullcontext()
+        ), recorder as report:
             if prime:
                 # AOT: trace + compile (persisting into the jax compilation
                 # cache) without executing — first-use latency is a choice
                 run.lower(*run_args).compile()
-                return None
-            return run(*run_args)
+                out = None
+            else:
+                out = run(*run_args)
+        if verbose:
+            self.last_routing_report = report
+            print(report.summary())
+        return out
 
     def _get_sample_run(self, plan=None):
         """ONE jitted sampling-scan program per model instance AND

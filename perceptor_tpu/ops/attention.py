@@ -68,8 +68,11 @@ def _flash_available() -> bool:
         return False
 
 
-def _context_plan_route(seq_q: int, seq_k: int, heads: int, masked: bool):
-    """(plan, route) under the active context-parallel plan, or (None, None).
+def _context_plan_route_explain(
+    seq_q: int, seq_k: int, heads: int, masked: bool
+):
+    """(plan, route, reason) under the active context-parallel plan, or
+    (None, None, None).
 
     Imported lazily: parallel.plan is dependency-free but the ring/Ulysses
     modules import this file back."""
@@ -77,8 +80,15 @@ def _context_plan_route(seq_q: int, seq_k: int, heads: int, masked: bool):
 
     plan = current_plan()
     if plan is None:
-        return None, None
-    return plan, plan.route(seq_q, seq_k, heads, masked=masked)
+        return None, None, None
+    route, reason = plan.route_explain(seq_q, seq_k, heads, masked=masked)
+    return plan, route, reason
+
+
+def _context_plan_route(seq_q: int, seq_k: int, heads: int, masked: bool):
+    """(plan, route) — see _context_plan_route_explain."""
+    plan, route, _ = _context_plan_route_explain(seq_q, seq_k, heads, masked)
+    return plan, route
 
 
 def flash_route(seq_q: int, seq_k: int, masked: bool = False) -> bool:
@@ -128,15 +138,20 @@ def attention(
     for long unmasked self-attention on TPU (where avoiding the S x S
     HBM roundtrip matters), XLA else.
     """
+    from perceptor_tpu.parallel.plan import record_route
+
     seq_q, seq_k = q.shape[-2], k.shape[-2]
-    plan, plan_route = _context_plan_route(
-        seq_q, seq_k, q.shape[1], mask is not None
+    heads = q.shape[1]
+    site_shape = (seq_q, seq_k, heads)
+    plan, plan_route, plan_reason = _context_plan_route_explain(
+        seq_q, seq_k, heads, mask is not None
     )
     if plan_route is not None:
         from perceptor_tpu.parallel.plan import RING
         from perceptor_tpu.parallel.ring_attention import ring_attention
         from perceptor_tpu.parallel.ulysses import ulysses_attention
 
+        record_route("attention", site_shape, plan_route, plan_reason)
         route_fn = ring_attention if plan_route == RING else ulysses_attention
         return route_fn(
             q, k, v, plan.mesh, scale=scale,
@@ -147,5 +162,15 @@ def attention(
     if use_flash and _flash_available():
         from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
+        record_route(
+            "attention", site_shape, "flash",
+            "Pallas flash kernel (long unmasked self-attention on TPU)"
+            + (f"; plan fallback: {plan_reason}" if plan is not None else ""),
+        )
         return flash_attention(q, k, v, scale=scale)
+    record_route(
+        "attention", site_shape, "xla",
+        "XLA dot-product attention"
+        + (f"; plan fallback: {plan_reason}" if plan is not None else ""),
+    )
     return dot_product_attention(q, k, v, mask=mask, scale=scale)

@@ -26,9 +26,12 @@ from perceptor_tpu.parallel.mesh import (
 from perceptor_tpu.parallel.pipeline import pipeline, pipeline_body
 from perceptor_tpu.parallel.plan import (
     ContextParallelPlan,
+    RoutingReport,
     context_parallel,
     current_plan,
+    explain,
     plan_for_mesh,
+    record_routing,
     shard_spatial,
 )
 from perceptor_tpu.parallel.ring_attention import (
@@ -75,6 +78,9 @@ __all__ = [
     "ContextParallelPlan",
     "context_parallel",
     "current_plan",
+    "explain",
     "plan_for_mesh",
+    "record_routing",
+    "RoutingReport",
     "shard_spatial",
 ]
