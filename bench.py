@@ -205,7 +205,9 @@ def main():
         # (docs/PERFORMANCE.md "Per-family throughput")
         import bench_families
 
-        bench_families.main(family, quick=QUICK)
+        bench_families.main(
+            family, quick=QUICK, mfu="--mfu" in sys.argv[1:]
+        )
         return
     mesh_spec = _parse_mesh_arg(sys.argv[1:])
     step, scan, (unet_params, vae_params, clip_params), latents, context = build(

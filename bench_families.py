@@ -23,11 +23,21 @@ stable_diffusion.py:391, monster_diffusion.py:201-211):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# --mfu / BENCH_MFU=1: after timing, re-trace the benched program
+# (jax.make_jaxpr; inner jits hit the trace cache so this is cheap
+# relative to the first compile) and count matmul/conv FLOPs analytically
+# (utils/flops.py — XLA's own cost_analysis undercounts ~10x post-fusion).
+# Adds counted_tflops_per_step + mfu_pct columns so EVERY published
+# per-family number carries a roofline check, not just the 512px headline
+# (VERDICT r3 next #1).
+MFU = os.environ.get("BENCH_MFU", "") == "1"
 
 FAMILIES = (
     "velocity",
@@ -49,6 +59,20 @@ def _timed(fn, sync):
     t0 = time.time()
     sync(fn())
     return compile_s, time.time() - t0
+
+
+def _add_mfu(result, run, run_s, n_steps):
+    """Annotate a bench result with counted FLOPs + MFU (no-op unless
+    --mfu). `run` is the exact zero-arg program that was timed; `n_steps`
+    the steps (or images) one run covers."""
+    if not MFU:
+        return result
+    from perceptor_tpu.utils.flops import count_flops, mfu
+
+    total = count_flops(run)
+    result["counted_tflops_per_step"] = round(total / n_steps / 1e12, 3)
+    result["mfu_pct"] = round(100 * mfu(total, run_s), 1)
+    return result
 
 
 def _sync(x):
@@ -79,13 +103,13 @@ def bench_velocity(quick):
         )
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "velocity yfcc_2 512px fused 50-step sample",
         "value": round(n_steps / run_s, 3),
         "unit": "steps/sec/chip",
         "images_per_min": round(60.0 / run_s, 2),
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_adm(quick):
@@ -100,13 +124,13 @@ def bench_adm(quick):
         )
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "ADM standard 512px fused 50-step sample",
         "value": round(n_steps / run_s, 3),
         "unit": "steps/sec/chip",
         "images_per_min": round(60.0 / run_s, 2),
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_ldm(quick):
@@ -131,13 +155,13 @@ def bench_ldm(quick):
         )
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "LDM text2image 256px fused 50-step sample (built-in CFG)",
         "value": round(n_steps / run_s, 3),
         "unit": "steps/sec/chip",
         "images_per_min": round(60.0 / run_s, 2),
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_monster(quick):
@@ -153,13 +177,13 @@ def bench_monster(quick):
         )
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": f"Monster EDM 48px elucidated sample, batch {batch}, "
         f"{n_evaluations} evals",
         "value": round(batch * 60.0 / run_s, 2),
         "unit": "images/min/chip",
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_evaluations)
 
 
 def bench_raw(quick):
@@ -181,12 +205,12 @@ def bench_raw(quick):
         return history
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "config 1: Raw + CLIP ViT-B-32 guided optimization, 256px",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_dip(quick):
@@ -208,12 +232,12 @@ def bench_dip(quick):
         return history
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "config 2: DeepImagePrior + OpenCLIP guided optimization, 256px",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_velocity_guided(quick):
@@ -237,13 +261,13 @@ def bench_velocity_guided(quick):
         return history
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "config 3: velocity yfcc_2 + CLIP guidance, 50 steps @256px",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
         "images_per_min": round(60.0 / run_s, 2),
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 def bench_ensemble(quick):
@@ -273,14 +297,14 @@ def bench_ensemble(quick):
         return history
 
     compile_s, run_s = _timed(run, _sync)
-    return {
+    return _add_mfu({
         "metric": "config 5: ADM pixelart + BLIP/CLOOB/SLIP ensemble, "
         "50 steps @256px",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
         "images_per_min": round(60.0 / run_s, 2),
         "compile_s": round(compile_s, 1),
-    }
+    }, run, run_s, n_steps)
 
 
 BENCHES = {
@@ -295,7 +319,10 @@ BENCHES = {
 }
 
 
-def main(family: str, quick: bool = False) -> dict:
+def main(family: str, quick: bool = False, mfu: bool = False) -> dict:
+    global MFU
+    if mfu:
+        MFU = True
     if family not in BENCHES:
         raise SystemExit(
             f"unknown family {family!r}; choose from {', '.join(FAMILIES)}"
@@ -308,4 +335,4 @@ def main(family: str, quick: bool = False) -> dict:
 
 if __name__ == "__main__":
     fam = sys.argv[1] if len(sys.argv) > 1 else "velocity"
-    main(fam, quick="--quick" in sys.argv)
+    main(fam, quick="--quick" in sys.argv, mfu="--mfu" in sys.argv)

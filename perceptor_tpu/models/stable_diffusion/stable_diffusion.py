@@ -684,8 +684,10 @@ class StableDiffusion:
         ), recorder as report:
             if prime:
                 # AOT: trace + compile (persisting into the jax compilation
-                # cache) without executing — first-use latency is a choice
-                run.lower(*run_args).compile()
+                # cache) without executing — first-use latency is a choice.
+                # The executable is retained for inspection
+                # (last_compiled.as_text() -> utils/hlo collective guard).
+                self.last_compiled = run.lower(*run_args).compile()
                 out = None
             else:
                 out = run(*run_args)
