@@ -124,7 +124,8 @@ def build(size: int, unet_remat: bool = False, batch: int = 1):
     return guided_scan, (unet_params, vae_params, clip_params), latents, context
 
 
-def probe(size: int, n: int = 4, unet_remat: bool = False, batch: int = 1):
+def probe(size: int, n: int = 4, unet_remat: bool = False, batch: int = 1,
+          mfu: bool = True):
     from perceptor_tpu.utils.profiling import memory_stats
 
     scan, params, latents, context = build(size, unet_remat, batch)
@@ -144,10 +145,24 @@ def probe(size: int, n: int = 4, unet_remat: bool = False, batch: int = 1):
     except Exception:
         pass
     peak_gb = mem.get("peak_bytes_in_use", 0) / 2**30
+    mfu_txt = ""
+    if mfu:
+        # counted matmul/conv FLOPs of the exact timed program ->
+        # roofline column for the high-res rows (VERDICT r3 next #1)
+        from perceptor_tpu.utils import flops as flops_lib
+
+        total = flops_lib.count_flops(
+            lambda: scan(*params, latents, context, n)
+        )
+        pct = 100 * flops_lib.mfu(total, elapsed)
+        mfu_txt = (
+            f" counted_tflops/step={total / n / 1e12:.2f} mfu={pct:.1f}%"
+        )
     print(
         f"size={size} remat={unet_remat}: {elapsed / n * 1e3:.1f} ms/step "
         f"({n / elapsed:.2f} steps/s) compile={compile_s:.0f}s "
-        f"peak_hbm={peak_gb:.2f} GiB loss_finite={bool(jnp.isfinite(losses[-1]))}",
+        f"peak_hbm={peak_gb:.2f} GiB loss_finite={bool(jnp.isfinite(losses[-1]))}"
+        + mfu_txt,
         flush=True,
     )
 

@@ -21,8 +21,17 @@ checkpoint directory and it
 
 Usage:
     python scripts/certify.py [--checkpoints DIR] [--out DIR]
-        [--families sd,velocity,adm,ldm,monster,stylegan]
+        [--families sd,velocity,adm,ldm,monster,stylegan]  (generators)
+        [--families all]    (generators + the 17-model perception zoo
+                             [clip open-clip transformers-clip blip cloob
+                             slip ruclip lit glide-clip owlvit midas
+                             adabins vgg resmem lpips super-resolution
+                             simulacra] + the drawers smoke)
         [--steps N] [--parity] [--quick]
+
+--parity on a perception family runs that model's torch-twin pytest
+parity suite (built from the reference's vendored modules) and records
+pass/fail in the report.
 
 Exit code 0 = everything it could run is green; families whose weights
 are missing are reported, not failed (weight-arrival day re-runs flip
@@ -314,6 +323,220 @@ def certify_stylegan(out_dir: str, steps: int, quick: bool, parity: bool) -> dic
     }
 
 
+# -- perception / encoder zoo (VERDICT r3 next #6) ---------------------------
+#
+# The 17 encoder models are the loss-backbone layer; on weight-arrival
+# day their converters meet real files for the first time. Each entry
+# certifies: construction (real weights when found, `weights: random`
+# otherwise), a deterministic forward (embeddings/depth/score stats,
+# finiteness), text encoding when tokenizer assets resolve, and with
+# --parity the model's existing torch-twin parity tests (pytest, built
+# from the reference's vendored modules).
+#
+# spec: (module path, class, kwargs, quick_kwargs, weight names, parity
+# test file, drive kind)
+
+PERCEPTION = {
+    "clip": ("perceptor_tpu.models", "CLIP", {"name": "ViT-B-32"}, None,
+             ("open_clip_ViT-B-32_openai",), "tests/test_clip.py", "clip"),
+    "open-clip": ("perceptor_tpu.models.open_clip", "OpenCLIP",
+                  {"arch": "ViT-B-32", "weights": "openai"}, None,
+                  ("open_clip_ViT-B-32_openai",), "tests/test_clip.py",
+                  "clip"),
+    "transformers-clip": (
+        "perceptor_tpu.models.transformers_openai_clip",
+        "TransformersOpenAICLIP", {"name": "openai/clip-vit-base-patch32"},
+        None, ("transformers_clip_openai_clip-vit-base-patch32",),
+        "tests/test_encoder_zoo.py", "clip"),
+    "blip": ("perceptor_tpu.models.blip", "BLIP", {},
+             {"name": "tiny"}, ("blip_model_base_retrieval_flickr",),
+             "tests/test_blip.py", "clip"),
+    "cloob": ("perceptor_tpu.models.cloob", "CLOOB", {},
+              {"name": "tiny"}, ("cloob_16-epochs",),
+              "tests/test_encoder_zoo.py", "clip"),
+    "slip": ("perceptor_tpu.models.slip", "SLIP", {},
+             {"name": "tiny"}, ("slip_SLIP_VITB16",),
+             "tests/test_encoder_zoo.py", "clip"),
+    "ruclip": ("perceptor_tpu.models.ruclip", "RuCLIP", {},
+               {"name": "tiny"}, ("ruclip_ruclip-vit-base-patch32-224",),
+               "tests/test_encoder_zoo.py", "images-only"),
+    "lit": ("perceptor_tpu.models.lit", "LiT", {},
+            {"name": "tiny"}, ("lit_LiT-L16L",), "tests/test_lit.py",
+            "images-only"),
+    "glide-clip": ("perceptor_tpu.models.glide_clip", "GlideCLIP", {},
+                   {"name": "tiny"},
+                   ("glide_clip_text_enc", "glide_clip_image_enc"),
+                   "tests/test_glide_clip.py", "glide"),
+    "owlvit": ("perceptor_tpu.models.owlvit", "OWLViT", {},
+               {"name": "tiny"}, ("owlvit_google_owlvit-base-patch32",),
+               "tests/test_owlvit.py", "owlvit"),
+    "midas": ("perceptor_tpu.models.midas_depth", "MidasDepth", {},
+              {"name": "tiny"}, ("midas_dpt_large",),
+              "tests/test_midas_depth.py", "map"),
+    "adabins": ("perceptor_tpu.models.adabins_depth", "AdaBinsDepth", {},
+                {"tiny": True}, ("adabins_nyu",),
+                "tests/test_adabins_depth.py", "map"),
+    "vgg": ("perceptor_tpu.models.vgg", "VGG19", {}, None,
+            ("vgg19", "vgg19_features"), "tests/test_losses_and_engine.py",
+            "features"),
+    "resmem": ("perceptor_tpu.models.resmem", "ResMem", {},
+               {"name": "tiny"}, ("resmem",), "tests/test_resmem.py", "map"),
+    "lpips": ("perceptor_tpu.models.lpips", "LPIPS", {}, None,
+              ("lpips_squeeze_backbone",), "tests/test_losses_batch2.py",
+              "pair"),
+    "super-resolution": ("perceptor_tpu.models.super_resolution",
+                         "SuperResolution", {}, {"name": "tiny"},
+                         ("super_resolution_x4",),
+                         "tests/test_super_resolution.py", "enhance"),
+    "simulacra": ("perceptor_tpu.models.simulacra_aesthetic",
+                  "SimulacraAesthetic", {"model_name": "RN50"}, None,
+                  ("simulacra_RN50",), "tests/test_simulacra_real_weights.py",
+                  "map"),
+}
+
+
+def _drive_perception(model, kind):
+    """Deterministic forward through the wrapper's public API."""
+    import jax
+    import jax.numpy as jnp
+
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 64, 64))
+    out = {}
+    if kind == "clip":
+        out["image_encodings"] = _stats(model.encode_images(images))
+        try:
+            out["text_encodings"] = _stats(
+                model.encode_texts(["a photograph of a cat", "a dog"])
+            )
+        except (FileNotFoundError, ValueError, ImportError) as e:
+            out["text_encodings"] = f"unavailable ({e})"
+    elif kind == "images-only":
+        try:
+            out["image_encodings"] = _stats(model.encode_images(images))
+        except AttributeError:
+            out["forward"] = _stats(model(images))
+    elif kind == "glide":
+        ts = jnp.asarray([100, 500])
+        out["image_encodings"] = _stats(model.encode_images(images, ts))
+    elif kind == "owlvit":
+        encodings = model.encode_texts([["a cat", "a dog"], ["a tree", "x"]])
+        preds = model.forward(images, encodings)
+        out["logits"] = _stats(preds.logits)
+        out["boxes"] = _stats(preds.boxes)
+    elif kind == "map":
+        fwd = getattr(model, "__call__", None)
+        for attr in ("predict", "forward", "__call__"):
+            if callable(getattr(model, attr, None)):
+                fwd = getattr(model, attr)
+                break
+        out["forward"] = _stats(fwd(images))
+    elif kind == "features":
+        feats = model(images)
+        leaf = feats[0] if isinstance(feats, (list, tuple)) else feats
+        out["features"] = _stats(leaf)
+    elif kind == "pair":
+        out["distance"] = _stats(model(images, images[::-1]))
+    elif kind == "enhance":
+        out["enhanced"] = _stats(model.enhance(images[:1]))
+    else:
+        raise ValueError(kind)
+    return out
+
+
+def _run_parity_tests(test_path: str) -> dict:
+    """Run the model's torch-twin parity tests (slow tier included)."""
+    import subprocess
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", test_path, "-q", "-m", "",
+         "-p", "no:cacheprovider"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+    return {
+        "status": "certified" if proc.returncode == 0 else "FAILED",
+        "seconds": round(time.time() - t0, 1),
+        "pytest": tail,
+    }
+
+
+def make_perception_certifier(key):
+    module_path, cls_name, kwargs, quick_kwargs, weight_names, test_path, kind = (
+        PERCEPTION[key]
+    )
+
+    def certify(out_dir: str, steps: int, quick: bool, parity: bool) -> dict:
+        import importlib
+
+        module = importlib.import_module(module_path)
+        cls = getattr(module, cls_name)
+        build_kwargs = dict(kwargs)
+        if quick and quick_kwargs is not None:
+            build_kwargs = dict(quick_kwargs)
+        t0 = time.time()
+        model = getattr(cls, "__wrapped__", cls)(**build_kwargs)
+        result = {
+            "weights": _weights_state(*weight_names),
+            "config": f"{cls_name}({build_kwargs})",
+            "forward": _drive_perception(model, kind),
+            "seconds": round(time.time() - t0, 1),
+        }
+        if parity:
+            result["parity"] = _run_parity_tests(test_path)
+        return result
+
+    return certify
+
+
+def certify_drawers(out_dir: str, steps: int, quick: bool, parity: bool) -> dict:
+    """Produce-an-image smoke through every generator drawer (§2.3):
+    JPEG codec roundtrip, ruDALL-E GumbelVQ decode, DeepImagePrior
+    forward, Raw fractal init, BruteDiffusion wrap. StyleGANXL has its
+    own family entry."""
+    import jax
+    import jax.numpy as jnp
+
+    from perceptor_tpu import drawers
+
+    report = {}
+
+    init = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    jpeg = drawers.JPEG(init)
+    report["jpeg"] = _stats(jpeg.synthesize(jpeg.params))
+
+    rudalle = drawers.BruteRuDalle(
+        jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 32, 32)), tiny=True
+    )
+    report["rudalle"] = _stats(rudalle.synthesize(rudalle.params))
+
+    dip = drawers.DeepImagePrior(size=(64, 64), seed=0)
+    report["deep_image_prior"] = _stats(dip.synthesize(dip.params))
+
+    raw = drawers.Raw.random_fractal_image((1, 3, 64, 64), seed=0)
+    report["raw_fractal"] = _stats(raw.synthesize(raw.params))
+
+    from perceptor_tpu.models.velocity_diffusion import VelocityDiffusion
+
+    bd = drawers.BruteDiffusion.from_image(
+        VelocityDiffusion("tiny"),
+        jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 32, 32)),
+        t=0.7, key=jax.random.PRNGKey(4),
+    )
+    report["brute_diffusion"] = _stats(bd.synthesize(bd.params))
+
+    for name, stats in report.items():
+        assert stats["finite"], f"{name} produced non-finite output"
+    sample = jnp.clip(jnp.asarray(dip.synthesize(dip.params)), 0, 1)
+    return {
+        "weights": "random (drawers are weight-free or tiny here)",
+        "config": "JPEG/rudalle/DIP/raw/brute-diffusion produce-an-image",
+        "image": _save(sample, out_dir, "drawers_dip"),
+        "drawers": report,
+    }
+
+
 CERTIFIERS = {
     "sd": certify_sd,
     "velocity": certify_velocity,
@@ -321,6 +544,8 @@ CERTIFIERS = {
     "ldm": certify_ldm,
     "monster": certify_monster,
     "stylegan": certify_stylegan,
+    "drawers": certify_drawers,
+    **{key: make_perception_certifier(key) for key in PERCEPTION},
 }
 
 
@@ -344,8 +569,13 @@ def main():
         # CACHE_DIRS is read at import time — set env BEFORE package import
     os.makedirs(args.out, exist_ok=True)
 
+    families = (
+        list(CERTIFIERS)
+        if args.families.strip() == "all"
+        else args.families.split(",")
+    )
     report, failed = {}, []
-    for family in args.families.split(","):
+    for family in families:
         family = family.strip()
         if family not in CERTIFIERS:
             raise SystemExit(
