@@ -272,6 +272,18 @@ def main():
         f"loss finite: {bool(jnp.isfinite(loss))}",
         file=sys.stderr,
     )
+    if "--mfu" in sys.argv[1:]:
+        from perceptor_tpu.utils.flops import count_flops, mfu
+
+        total = count_flops(
+            lambda: scan(unet_params, vae_params, clip_params, latents,
+                         context, n)
+        )
+        print(
+            f"# counted {total / n / 1e12:.2f} TF/step, "
+            f"MFU {100 * mfu(total, elapsed):.1f}% (v5e bf16 peak 197 TF/s)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

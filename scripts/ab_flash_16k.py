@@ -27,6 +27,7 @@ from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
 
 def sweep(seq, heads=8, d=128, blocks=(256, 512, 1024, 2048), reps=20):
+    print(f"# sweep seq={seq} heads={heads} d={d}", flush=True)
     rng = np.random.default_rng(0)
     q = jnp.asarray(
         rng.normal(size=(1, heads, seq, d)).astype(np.float32), jnp.bfloat16
@@ -48,11 +49,18 @@ def sweep(seq, heads=8, d=128, blocks=(256, 512, 1024, 2048), reps=20):
         def loss(q, k, v):
             return fwd(q, k, v).astype(jnp.float32).sum()
 
+        # hard sync via host readback: block_until_ready is a no-op
+        # through the axon tunnel (see bench.py) — a tiny jnp.sum fetch
+        # forces all queued work to finish
+        def _sync(t):
+            leaf = jax.tree.leaves(t)[0]
+            return float(jnp.sum(leaf[..., :2, :2].astype(jnp.float32)))
+
         try:
             f = jax.jit(fwd)
             g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-            jax.block_until_ready(f(q, k, v))
-            jax.block_until_ready(g(q, k, v))
+            _sync(f(q, k, v))
+            _sync(g(q, k, v))
         except Exception as e:  # VMEM overflow etc. — record and move on
             results.append(
                 {"seq": seq, "bq": bq, "bk": bk, "error": str(e)[:100]}
@@ -61,12 +69,12 @@ def sweep(seq, heads=8, d=128, blocks=(256, 512, 1024, 2048), reps=20):
         t0 = time.time()
         for _ in range(reps):
             out = f(q, k, v)
-        jax.block_until_ready(out)
+        _sync(out)
         fwd_ms = (time.time() - t0) / reps * 1e3
         t0 = time.time()
         for _ in range(reps):
             gr = g(q, k, v)
-        jax.block_until_ready(gr)
+        _sync(gr)
         bwd_ms = (time.time() - t0) / reps * 1e3
         row = {
             "seq": seq, "bq": bq, "bk": bk,
@@ -95,4 +103,9 @@ if __name__ == "__main__":
     print(f"# device: {jax.devices()[0]}", flush=True)
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [16384, 9216]
     for seq in sizes:
-        sweep(seq)
+        # UNet L0 shape at this resolution (head_dim 40 -> 128 emitted)
+        sweep(seq, heads=8, d=128)
+    # the OTHER 16k-token attention at 1024px: the VAE mid-block's single
+    # 512-dim head (128x128 latents) — d>=512 is where KV-tile VMEM
+    # locality breaks; measured separately
+    sweep(16384, heads=1, d=512, reps=10)

@@ -118,13 +118,18 @@ def measure(module, x, emb, ctx, label, steps=30):
     compiled = lowered.compile()
     compile_s = time.time() - t0
 
-    # warm + steady
+    # warm + steady; hard sync via host readback (block_until_ready is a
+    # no-op through the axon tunnel — see bench.py)
+    def _sync(t):
+        leaf = jax.tree.leaves(t)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     g = compiled(params, x)
-    jax.block_until_ready(g)
+    _sync(g)
     t0 = time.time()
     for _ in range(steps):
         g = compiled(params, x)
-    jax.block_until_ready(g)
+    _sync(g)
     run_ms = (time.time() - t0) / steps * 1e3
     out = {
         "label": label,
