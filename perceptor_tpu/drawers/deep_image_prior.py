@@ -21,10 +21,11 @@ class DeepImagePrior(DrawingInterface):
         n_feature_channels: int = 64,
         output_channels: int = 3,
         seed: int = 0,
+        fp16: bool = True,
     ):
         self.model = DIPModel(
             shape=(n_feature_channels, *size), output_channels=output_channels,
-            seed=seed,
+            seed=seed, fp16=fp16,
         )
         self.latents = self.model.random_latents(jax.random.PRNGKey(seed))
         self.params = {

@@ -48,18 +48,23 @@ def _decorrelation_matrix(inv_color_scale: float = 1.6) -> np.ndarray:
 
 
 class TrainBatchNorm(nn.Module):
-    """BatchNorm using batch statistics (the only mode DIP ever runs in)."""
+    """BatchNorm using batch statistics (the only mode DIP ever runs in).
+
+    Statistics and normalization run in fp32 regardless of the compute
+    dtype (the repo's bf16-compute / fp32-norm convention, as in the
+    SD/ADM GroupNorms); the output is cast back to `dtype`."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=(0, 1, 2), keepdims=True)
-        var = x.var(axis=(0, 1, 2), keepdims=True)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(0, 1, 2), keepdims=True)
+        var = xf.var(axis=(0, 1, 2), keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        return y * scale + bias
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * scale + bias).astype(self.dtype)
 
 
 def _reflect_conv(x, features, kernel, dtype, name):
@@ -240,7 +245,12 @@ class DeepImagePrior:
         decorrelate_rgb: bool = True,
         output_channels: int = 3,
         seed: int = 0,
+        fp16: bool = True,
     ):
+        """`fp16=True` (default) runs the SkipNet convs in bf16 with fp32
+        BatchNorm/head — the repo's standard compute convention. Measured
+        round 4 (scripts/ab_deform_conv.py): the all-fp32 net ran at a
+        fraction of MXU bf16 peak and dominated config 2's step time."""
         if offset_type not in ("none", "1x1", "full"):
             raise ValueError(f"unknown offset_type {offset_type!r}")
         input_channels, height, width = shape
@@ -255,6 +265,7 @@ class DeepImagePrior:
             sigmoid=sigmoid,
             decorrelate_rgb=decorrelate_rgb,
             offset_type=offset_type,
+            dtype=jnp.bfloat16 if fp16 else jnp.float32,
         )
         self.params = init_by_shape(
             self.module.init,
