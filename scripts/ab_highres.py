@@ -144,7 +144,10 @@ def probe(size: int, n: int = 4, unet_remat: bool = False, batch: int = 1,
         mem = memory_stats()
     except Exception:
         pass
-    peak_gb = mem.get("peak_bytes_in_use", 0) / 2**30
+    peak_bytes = mem.get("peak_bytes_in_use", 0)
+    # the axon tunnel's device object reports no memory_stats — print
+    # n/a instead of a misleading 0.00
+    peak_gb = peak_bytes / 2**30 if peak_bytes else float("nan")
     mfu_txt = ""
     if mfu:
         # counted matmul/conv FLOPs of the exact timed program ->
