@@ -340,7 +340,7 @@ PERCEPTION = {
     "clip": ("perceptor_tpu.models", "CLIP", {"name": "ViT-B-32"}, None,
              ("open_clip_ViT-B-32_openai",), "tests/test_clip.py", "clip"),
     "open-clip": ("perceptor_tpu.models.open_clip", "OpenCLIP",
-                  {"arch": "ViT-B-32", "weights": "openai"}, None,
+                  {"architecture": "ViT-B-32", "weights": "openai"}, None,
                   ("open_clip_ViT-B-32_openai",), "tests/test_clip.py",
                   "clip"),
     "transformers-clip": (
