@@ -39,10 +39,21 @@ def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
 
     Out-of-range samples are zero; border samples blend with zeros, the
     deform-conv convention (NOT grid_sample's border clamping).
+
+    TPU formulation: the naive `img[:, yc, xc]` is a pointwise 2D gather
+    (scalar-granularity on TPU). Instead the image is laid out as an
+    (H*W, C) table and each corner becomes `jnp.take(table, flat_idx,
+    axis=0)` — per-pixel CONTIGUOUS row reads of C lanes. Measured on
+    the DIP HQ mode fwd+VJP (round 4): 618 -> 568 ms (-8%); the
+    remaining cost is the VJP's scatter-add into the table (the image
+    gradient), which no gather layout removes — see the deform study in
+    docs/PERFORMANCE.md.
     """
-    h, w = img.shape[-2:]
+    c, h, w = img.shape
+    table = img.reshape(c, h * w).T  # (HW, C): rows are channel vectors
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
+    shape = ys.shape
 
     out = None
     for dy, wy in ((0, (1.0 - (ys - y0))), (1, ys - y0)):
@@ -52,9 +63,12 @@ def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
             valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
             yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
             xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            v = img[:, yc, xc] * (wy * wx * valid)[None]
-            out = v if out is None else out + v
-    return out
+            idx = (yc * w + xc).reshape(-1)
+            v = jnp.take(table, idx, axis=0)  # (P, C) row gathers
+            weight = (wy * wx * valid).reshape(-1, 1)
+            contrib = v * weight
+            out = contrib if out is None else out + contrib
+    return out.T.reshape(c, *shape)
 
 
 def deform_conv2d(
