@@ -232,18 +232,25 @@ def main():
     # the FIRST device->host fetch of a process pays a one-time tunnel
     # transfer-path warmup (7-90 s measured, docs/PERFORMANCE.md "Round-3
     # cold-start diagnosis"); pay it here on 4 floats so the compile and
-    # throughput numbers below measure the program, not the transport
+    # throughput numbers below measure the program, not the transport.
+    # Its measured cost is recorded in the emitted env dict.
+    from perceptor_tpu.utils.bench_env import bench_env, cache_snapshot
+
+    t0 = time.time()
     _ = float(jnp.sum(latents[0, 0, 0, :4]))
+    warmup_s = time.time() - t0
 
     # 30 steps: long enough that the fixed per-dispatch RPC overhead of the
     # remote-TPU tunnel (~46 ms, docs/PERFORMANCE.md "MFU") is <2% of the
     # measurement, i.e. the number reflects the device rate
     n = 3 if QUICK else 30
     # compile + warmup (one scanned program covering all n steps)
+    cache_before = cache_snapshot()
     t0 = time.time()
     out, losses = scan(unet_params, vae_params, clip_params, latents, context, n)
     _ = float(jnp.sum(out))
     compile_s = time.time() - t0
+    cache_after = cache_snapshot()
 
     t0 = time.time()
     out, losses = scan(unet_params, vae_params, clip_params, latents, context, n)
@@ -265,6 +272,14 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / baseline, 3),
+        # self-describing conditions (VERDICT r4 #3): the r4 headline
+        # drifted 5% with no way to classify why; now every artifact
+        # carries its regime (host load, contending procs, compile-cache
+        # hit/miss, measured tunnel warmup, compile + steady timings)
+        "compile_s": round(compile_s, 1),
+        "steady_s": round(elapsed, 2),
+        "n_steps": n,
+        "env": bench_env(cache_before, cache_after, warmup_s),
     }
     print(json.dumps(result))
     print(
@@ -273,9 +288,13 @@ def main():
         file=sys.stderr,
     )
     if "--mfu" in sys.argv[1:]:
-        from perceptor_tpu.utils.flops import count_flops, mfu
+        # model FLOPs (attention re-traced on the XLA route): a plain
+        # TPU trace hides the flash kernels' matmuls while counting
+        # their lane padding — the round-4 6.47-vs-6.825 TF artifact
+        # (docs/PERFORMANCE.md "MFU counter reconciliation")
+        from perceptor_tpu.utils.flops import count_model_flops, mfu
 
-        total = count_flops(
+        total = count_model_flops(
             lambda: scan(unet_params, vae_params, clip_params, latents,
                          context, n)
         )

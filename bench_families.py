@@ -18,6 +18,7 @@ stable_diffusion.py:391, monster_diffusion.py:201-211):
   dip              config 2: DeepImagePrior + OpenCLIP, 256px guided opt
   velocity-guided  config 3: yfcc_2 + CLIP guidance, 50 steps at 256px
   ensemble         config 5: ADM pixelart + BLIP/CLOOB/SLIP stacked losses
+  cutouts          Raw 512px + MakeCutouts x{8,32,64} + CLIP ViT-B-32
 """
 
 from __future__ import annotations
@@ -39,6 +40,18 @@ import jax.numpy as jnp
 # (VERDICT r3 next #1).
 MFU = os.environ.get("BENCH_MFU", "") == "1"
 
+# COUNT_ONLY: skip execution entirely — _timed returns zeros and _add_mfu
+# traces the program for its model-FLOP count only (no mfu_pct without a
+# real run time). Used by scripts/recount_model_flops.py to re-derive the
+# TF/step column for already-measured rows without re-running benches.
+COUNT_ONLY = os.environ.get("BENCH_COUNT_ONLY", "") == "1"
+
+# BENCH_BATCH=N: batch size for the guided-loop families
+# (velocity-guided, ensemble) — the serving-economics knob measured on
+# LDM in round 4 (batch 1->8: 31.7->49.4% MFU); same study for the
+# 256px guided configs (VERDICT r4 #9).
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+
 FAMILIES = (
     "velocity",
     "adm",
@@ -48,11 +61,16 @@ FAMILIES = (
     "dip",
     "velocity-guided",
     "ensemble",
+    "cutouts",
 )
 
 
 def _timed(fn, sync):
     """(compile_s, run_s): first call (with compile), then a steady call."""
+    if COUNT_ONLY:
+        # inf keeps the throughput arithmetic well-defined (value -> 0);
+        # _add_mfu skips mfu_pct for non-finite run times
+        return 0.0, float("inf")
     t0 = time.time()
     sync(fn())
     compile_s = time.time() - t0
@@ -64,14 +82,23 @@ def _timed(fn, sync):
 def _add_mfu(result, run, run_s, n_steps):
     """Annotate a bench result with counted FLOPs + MFU (no-op unless
     --mfu). `run` is the exact zero-arg program that was timed; `n_steps`
-    the steps (or images) one run covers."""
+    the steps (or images) one run covers.
+
+    Counts MODEL FLOPs (count_model_flops: attention re-traced on the
+    XLA route at true head_dim) — on TPU a plain trace would hide the
+    flash kernels' attention matmuls while counting their lane padding,
+    the round-4 headline artifact (docs/PERFORMANCE.md "MFU counter
+    reconciliation"). Runs AFTER timing: it clears jit caches."""
     if not MFU:
         return result
-    from perceptor_tpu.utils.flops import count_flops, mfu
+    from perceptor_tpu.utils.flops import count_model_flops, mfu
 
-    total = count_flops(run)
+    import math
+
+    total = count_model_flops(run)
     result["counted_tflops_per_step"] = round(total / n_steps / 1e12, 3)
-    result["mfu_pct"] = round(100 * mfu(total, run_s), 1)
+    if run_s > 0 and math.isfinite(run_s):
+        result["mfu_pct"] = round(100 * mfu(total, run_s), 1)
     return result
 
 
@@ -249,7 +276,7 @@ def bench_velocity_guided(quick):
     n_steps = 3 if quick else 50
     size = 64 if quick else 256
     diffused = model.random_diffused(
-        (1, 3, size, size), jax.random.PRNGKey(0)
+        (BATCH, 3, size, size), jax.random.PRNGKey(0)
     )
     pairs = jnp.asarray(model.schedule_ts(n_steps), jnp.float32)
 
@@ -262,10 +289,12 @@ def bench_velocity_guided(quick):
 
     compile_s, run_s = _timed(run, _sync)
     return _add_mfu({
-        "metric": "config 3: velocity yfcc_2 + CLIP guidance, 50 steps @256px",
+        "metric": "config 3: velocity yfcc_2 + CLIP guidance, 50 steps "
+        f"@256px, batch {BATCH}",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
-        "images_per_min": round(60.0 / run_s, 2),
+        "images_per_min": round(BATCH * 60.0 / run_s, 2),
+        "batch": BATCH,
         "compile_s": round(compile_s, 1),
     }, run, run_s, n_steps)
 
@@ -283,7 +312,7 @@ def bench_ensemble(quick):
     n_steps = 3 if quick else 50
     size = 64 if quick else 256
     diffused = model.random_diffused(
-        (1, 3, size, size), jax.random.PRNGKey(0)
+        (BATCH, 3, size, size), jax.random.PRNGKey(0)
     )
     pairs = jnp.asarray(
         model.schedule_indices(n_steps=n_steps, rho=3.0)
@@ -299,12 +328,82 @@ def bench_ensemble(quick):
     compile_s, run_s = _timed(run, _sync)
     return _add_mfu({
         "metric": "config 5: ADM pixelart + BLIP/CLOOB/SLIP ensemble, "
-        "50 steps @256px",
+        f"50 steps @256px, batch {BATCH}",
         "value": round(n_steps / run_s, 3),
         "unit": "guided steps/sec/chip",
-        "images_per_min": round(60.0 / run_s, 2),
+        "images_per_min": round(BATCH * 60.0 / run_s, 2),
+        "batch": BATCH,
         "compile_s": round(compile_s, 1),
     }, run, run_s, n_steps)
+
+
+def bench_cutouts(quick):
+    """The reference's canonical CLIP-guidance workload (SURVEY §3.1):
+    a Raw drawer at 512px guided through a MakeCutouts ensemble — N
+    antialiased crops (transforms.random_cutouts, two MXU matmuls each)
+    -> CLIP ViT-B/32 -> spherical distance, fwd+VJP+Adam, the whole loop
+    one lax.scan. The cutout axis is batch: this is the workload that
+    fills the MXU where the batch-1 `raw` row cannot (VERDICT r4 #6).
+    Reference pattern: reference losses/clip/clip.py:89-99 + the resize
+    path models/open_clip.py:110-123."""
+    import optax
+
+    from perceptor_tpu import drawers, losses, transforms
+
+    size = (64, 64) if quick else (512, 512)
+    drawer = drawers.Raw.random_fractal_image((1, 3, *size), seed=0)
+    loss = _random_encodings(losses.CLIP("ViT-B-32"))
+    loss_params = loss.loss_params
+    n_steps = 3 if quick else 100
+    optimizer = optax.adam(0.05)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run_scan(params, key, n_cuts, n_steps):
+        opt_state = optimizer.init(params)
+
+        def total_loss(params, cut_key):
+            images = drawer.synthesize(params)
+            cutouts = transforms.random_cutouts(
+                images, cut_key, n_cutouts=n_cuts, cut_size=224, cut_pow=0.5
+            )
+            return loss.apply(loss_params, cutouts)
+
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, cut_key = jax.random.split(key)
+            step_loss, grads = jax.value_and_grad(total_loss)(params, cut_key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), step_loss
+
+        (params, _, _), history = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps
+        )
+        return params, history
+
+    counts = (2,) if quick else (8, 32, 64)
+    variants = {}
+    for n_cuts in counts:
+        def run(n_cuts=n_cuts):
+            return run_scan(
+                drawer.params, jax.random.PRNGKey(0), n_cuts, n_steps
+            )[1]
+
+        compile_s, run_s = _timed(run, _sync)
+        variants[str(n_cuts)] = _add_mfu({
+            "steps_per_sec": round(n_steps / run_s, 2),
+            "compile_s": round(compile_s, 1),
+        }, run, run_s, n_steps)
+
+    mid = str(counts[len(counts) // 2])
+    return {
+        "metric": "Raw 512px + MakeCutouts x{8,32,64} + CLIP ViT-B-32 "
+        "guided optimization (canonical cutout-ensemble workflow)",
+        "value": variants[mid]["steps_per_sec"],
+        "unit": f"guided steps/sec/chip at {mid} cutouts",
+        "variants": variants,
+    }
 
 
 BENCHES = {
@@ -316,21 +415,33 @@ BENCHES = {
     "dip": bench_dip,
     "velocity-guided": bench_velocity_guided,
     "ensemble": bench_ensemble,
+    "cutouts": bench_cutouts,
 }
 
 
 def main(family: str, quick: bool = False, mfu: bool = False) -> dict:
+    # save/restore the module flag so an in-process mfu=True call does not
+    # leak MFU columns into a later mfu=False call (advisor r4)
     global MFU
-    if mfu:
-        MFU = True
-    if family not in BENCHES:
-        raise SystemExit(
-            f"unknown family {family!r}; choose from {', '.join(FAMILIES)}"
-        )
-    result = BENCHES[family](quick)
-    result["family"] = family
-    print(json.dumps(result))
-    return result
+    prior = MFU
+    MFU = MFU or mfu
+    try:
+        if family not in BENCHES:
+            raise SystemExit(
+                f"unknown family {family!r}; choose from {', '.join(FAMILIES)}"
+            )
+        from perceptor_tpu.utils.bench_env import bench_env, cache_snapshot
+
+        before = cache_snapshot()
+        result = BENCHES[family](quick)
+        result["family"] = family
+        # self-describing conditions (VERDICT r4 #3): loadavg, concurrent
+        # python procs, persistent-cache hit/miss across the timed compile
+        result["env"] = bench_env(before, cache_snapshot())
+        print(json.dumps(result))
+        return result
+    finally:
+        MFU = prior
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ head_dim padded to lane width where needed.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -56,6 +57,37 @@ def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
     """Additive causal mask (used by CLIP text towers, LDM BERT, etc.)."""
     mask = jnp.triu(jnp.full((seq_len, seq_len), -1e10, dtype=dtype), k=1)
     return mask[None, None]
+
+
+# -- model-FLOPs counting mode -------------------------------------------------
+#
+# On TPU the flash path hides its attention matmuls inside a pallas_call
+# and pads head_dim to the 128-lane width from the projections
+# (HeadProj emit_dim) — so a jaxpr FLOP count of the *executed* program
+# is neither the model FLOPs (padding counted, score/value dots hidden)
+# nor comparable across backends. Round 4 published 6.47 TF/step for the
+# headline this way where the true model count is 6.825 (see
+# docs/PERFORMANCE.md "MFU counter reconciliation"). Tracing under this
+# flag forces the XLA attention route (true head_dim, visible dots) so
+# utils.flops counts the mathematical step — identical on every backend.
+
+_COUNTING_MODEL_FLOPS = False
+
+
+@contextlib.contextmanager
+def model_flops_trace():
+    """Trace-time override: route every attention through the XLA path
+    (unpadded head_dim, dots visible to the jaxpr FLOP counter). Callers
+    must trace FRESH functions under this (jax.clear_caches() first if
+    the same jitted callables already traced) and must not EXECUTE the
+    resulting programs — utils.flops.count_model_flops handles both."""
+    global _COUNTING_MODEL_FLOPS
+    prior = _COUNTING_MODEL_FLOPS
+    _COUNTING_MODEL_FLOPS = True
+    try:
+        yield
+    finally:
+        _COUNTING_MODEL_FLOPS = prior
 
 
 @functools.lru_cache(maxsize=1)
@@ -104,6 +136,8 @@ def flash_route(seq_q: int, seq_k: int, masked: bool = False) -> bool:
     per-shard blocks and wants the true head_dim. (Ring routing is
     head-count independent, so heads=1 is exact here; any flash-eligible
     sequence — >=1024, 128-aligned — is also ring-eligible.)"""
+    if _COUNTING_MODEL_FLOPS:
+        return False
     _, route = _context_plan_route(seq_q, seq_k, 1, masked)
     if route is not None:
         return False
@@ -159,6 +193,8 @@ def attention(
         )
     if use_flash is None:
         use_flash = flash_route(seq_q, seq_k, masked=mask is not None)
+    if _COUNTING_MODEL_FLOPS:
+        use_flash = False  # even when forced: count the mathematical step
     if use_flash and _flash_available():
         from perceptor_tpu.ops.flash_attention_kernel import flash_attention
 
