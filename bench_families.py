@@ -358,8 +358,11 @@ def bench_cutouts(quick):
     optimizer = optax.adam(0.05)
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def run_scan(params, key, n_cuts, n_steps):
+    @partial(jax.jit, static_argnums=(3, 4))
+    def run_scan(params, loss_params, key, n_cuts, n_steps):
+        # loss_params ride as an ARGUMENT: closed-over param trees ship
+        # as MLIR constants and trip the remote compiler's request-size
+        # limit (HTTP 413) — the known large-program gotcha.
         opt_state = optimizer.init(params)
 
         def total_loss(params, cut_key):
@@ -387,7 +390,8 @@ def bench_cutouts(quick):
     for n_cuts in counts:
         def run(n_cuts=n_cuts):
             return run_scan(
-                drawer.params, jax.random.PRNGKey(0), n_cuts, n_steps
+                drawer.params, loss_params, jax.random.PRNGKey(0), n_cuts,
+                n_steps,
             )[1]
 
         compile_s, run_s = _timed(run, _sync)

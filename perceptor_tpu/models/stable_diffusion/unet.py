@@ -103,6 +103,13 @@ class ResnetBlock(nn.Module):
 # ~0.9 ms/step at L0 as 42 TF/s add-fusions with {1,2,0} layouts).
 ATTN_PROJ = "einsum"
 
+# Emit flash-bound q/k/v with head_dim pre-padded to the 128-lane width
+# from the projection weights (True, the round-2 default) or at the true
+# head_dim (False: Mosaic pads kernel tiles internally; 3.2x fewer
+# q/k/v HBM bytes at SD's d40 levels). A/B per resolution:
+# scripts/ab_emit_pad.py.
+EMIT_LANE_PAD = True
+
 
 class CrossAttention(nn.Module):
     """Multi-head attention, q from x, k/v from context (self-attn when
@@ -127,9 +134,12 @@ class CrossAttention(nn.Module):
             # around every kernel call (q/k/v in, out back — 4 HBM
             # round-trips per site, fwd AND bwd) collapse into zero
             # weight columns/rows. Numerics identical; softmax scale uses
-            # the true head_dim.
+            # the true head_dim. EMIT_LANE_PAD=False emits the TRUE
+            # head_dim instead (Mosaic pads kernel tiles internally) —
+            # 3.2x fewer q/k/v HBM bytes at d40; A/B'd per resolution in
+            # scripts/ab_emit_pad.py (docs/PERFORMANCE.md round-5 study).
             emit = self.dim_head
-            if flash_route(s, sk):
+            if EMIT_LANE_PAD and flash_route(s, sk):
                 emit += (-self.dim_head) % 128
 
             def head_proj(name):

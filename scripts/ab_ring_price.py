@@ -47,7 +47,7 @@ def hop_body(q, k, v, scale):
     return acc, p.sum(axis=-1)
 
 
-def time_hop(batch, heads, shard, dim, n=50):
+def time_hop(batch, heads, shard, dim, n=100):
     q = jax.random.normal(jax.random.PRNGKey(0), (batch, heads, shard, dim))
     k = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, shard, dim))
     v = jax.random.normal(jax.random.PRNGKey(2), (batch, heads, shard, dim))
@@ -70,10 +70,19 @@ def time_hop(batch, heads, shard, dim, n=50):
             return g[0][0, 0, 0, 0] * 1e-20, None
         return jax.lax.scan(body, 0.0, None, length=n)[0]
 
-    _ = float(scan_hops(q, k, v, 2))  # compile + warmup
-    t0 = time.time()
-    _ = float(scan_hops(q, k, v, n))
-    return (time.time() - t0) / n
+    def timed(length):
+        # warmup with the SAME static length (a different n is a
+        # different program: its compile would land inside the timing),
+        # then hard-sync-time the second call
+        _ = float(scan_hops(q, k, v, length))
+        t0 = time.time()
+        _ = float(scan_hops(q, k, v, length))
+        return time.time() - t0
+
+    # difference of two lengths cancels the fixed per-dispatch tunnel
+    # overhead (~46 ms), which would otherwise swamp the small blocks
+    t_n, t_2n = timed(n), timed(2 * n)
+    return max(t_2n - t_n, 1e-9) / n
 
 
 def main():
