@@ -47,18 +47,30 @@ ULYSSES = "ulysses"
 class ContextParallelPlan:
     """Static routing decisions for one mesh.
 
-    ``ring_min_seq``: self-attention sequences at least this long ride the
-    ring (the deep UNet levels' short sequences are cheaper head-sharded —
-    the ring's (n-1) ppermutes of tiny K/V blocks are latency-bound).
-    Shorter self-attention and all cross-attention use Ulysses when the
-    head count divides the context axis; anything else falls through to
-    the XLA path (GSPMD still handles the sharded operands).
+    Priced on the real chip (scripts/ab_ring_price.py, table in
+    docs/PARALLELISM.md "ring_min_seq pricing"): a ring hop's block
+    compute hides its K/V ppermute only when the per-chip shard is long
+    enough — at SD's L0 geometry the measured compute/comm ratio is
+    2.6 at shard 1024 and 0.3-0.7 below — and Ulysses moves n/2x fewer
+    ICI bytes than the ring whenever the head count divides the axis.
+
+    ``ring_min_shard``: per-chip tokens (seq/n) at which the ring is
+    bandwidth-clean and preferred over everything (default 1024,
+    measured ratio >=2.6; conservative vs the ~650-token one-way
+    crossover).
+    ``ring_min_seq``: below ``ring_min_shard`` shards, head-divisible
+    shapes take Ulysses (fewer bytes, one resharding round-trip);
+    shapes Ulysses cannot serve still ride the ring when the GLOBAL
+    sequence is at least this long (memory still scales 1/n even when
+    the hops are comm-bound). Anything else falls through to the XLA
+    path (GSPMD handles the sharded operands).
     """
 
     mesh: Mesh
     context_axis: str = AXIS_CONTEXT
     batch_axis: Optional[str] = AXIS_DATA
     ring_min_seq: int = 1024
+    ring_min_shard: int = 1024
 
     @property
     def n_context(self) -> int:
@@ -81,10 +93,17 @@ class ContextParallelPlan:
             return None, "masked attention stays on the XLA path"
         if n <= 1:
             return None, "context axis is trivial (size 1)"
-        if seq_q == seq_k and seq_q % n == 0 and seq_q >= self.ring_min_seq:
+        ring_ok = (
+            seq_q == seq_k
+            and seq_q % n == 0
+            and seq_q >= self.ring_min_seq
+        )
+        if ring_ok and seq_q // n >= self.ring_min_shard:
             return RING, (
-                f"self-attention, seq {seq_q} >= ring_min_seq "
-                f"{self.ring_min_seq} and divisible by context axis {n}"
+                f"self-attention, shard {seq_q // n} >= ring_min_shard "
+                f"{self.ring_min_shard} (bandwidth-clean ring; measured "
+                "compute/comm >= 2.6) and divisible by context axis "
+                f"{n}"
             )
         if heads % n == 0:
             reason = (
@@ -94,11 +113,25 @@ class ContextParallelPlan:
                     f"self-attention seq {seq_q} below ring_min_seq "
                     f"{self.ring_min_seq}"
                     if seq_q < self.ring_min_seq
-                    else f"self-attention seq {seq_q} not divisible by "
-                    f"context axis {n}"
+                    else (
+                        f"self-attention shard {seq_q // n} below "
+                        f"ring_min_shard {self.ring_min_shard} — Ulysses "
+                        f"moves {n}/2x fewer ICI bytes than a comm-bound "
+                        "ring"
+                        if seq_q % n == 0
+                        else f"self-attention seq {seq_q} not divisible "
+                        f"by context axis {n}"
+                    )
                 )
             )
             return ULYSSES, reason + f"; heads {heads} divisible by {n}"
+        if ring_ok:
+            return RING, (
+                f"self-attention, seq {seq_q} >= ring_min_seq "
+                f"{self.ring_min_seq} and divisible by context axis {n}; "
+                f"heads {heads} not Ulysses-divisible — comm-bound ring "
+                "still scales memory 1/n"
+            )
         return None, (
             f"no route: seq_q {seq_q} (vs seq_k {seq_k}) not ring-eligible "
             f"and heads {heads} not divisible by context axis {n} — "

@@ -47,7 +47,12 @@ def hop_body(q, k, v, scale):
     return acc, p.sum(axis=-1)
 
 
-def time_hop(batch, heads, shard, dim, n=100):
+def time_hop(batch, heads, shard, dim, n=None):
+    if n is None:
+        # small blocks cost ~us each: scale hop count so the timed
+        # difference (n hops of work) clears the ~ms tunnel-readback
+        # noise at every shard size
+        n = max(100, int(6e8 / (shard * shard)))
     q = jax.random.normal(jax.random.PRNGKey(0), (batch, heads, shard, dim))
     k = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, shard, dim))
     v = jax.random.normal(jax.random.PRNGKey(2), (batch, heads, shard, dim))

@@ -125,7 +125,9 @@ def _build_nets(quick: bool):
     clip = CLIPModule(clip_cfg, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
-    probe = 32 // vae_cfg.downscale
+    # init probe: large enough for the UNet's full down/up path
+    # (4x4 latents break the level-3 skip concat)
+    probe = max(16, 512 // vae_cfg.downscale // 8)
     latents0 = jnp.zeros((1, unet_cfg.in_channels, probe, probe))
     ctx0 = jnp.zeros((1, 77, unet_cfg.context_dim))
     unet_params = init_by_shape(

@@ -80,7 +80,7 @@ def _tiny_sd():
     return StableDiffusion("tiny", fp16=False)
 
 
-def _cp_program_text(degrade: bool = False):
+def _cp_program_text():
     model = _tiny_sd()
     mesh = parallel.create_mesh(data=1, context=8)
     plan = parallel.plan_for_mesh(mesh)
@@ -99,11 +99,6 @@ def _cp_program_text(degrade: bool = False):
     params = parallel.replicate({"params": model.params["unet"]}, mesh)
 
     def loss(x):
-        if degrade:
-            # the regression being guarded against: a lost sharding
-            # constraint makes XLA re-gather the full token axis
-            x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
-            x = jax.lax.with_sharding_constraint(x, spatial)
         return (model.unet.apply(params, x, ts, ctx) ** 2).mean()
 
     with parallel.context_parallel(mesh):
@@ -117,28 +112,18 @@ def test_cp_unet_step_byte_budget():
     bytes_by_op = program_ici_bytes(txt, default_group=8)
     total = bytes_by_op["total"]
     assert total > 0, "expected ring ppermute traffic in the CP program"
-    # all-gathers must carry a negligible share (weight-edge gathers only)
-    budget = 6_000_000  # ~2x the measured 2.9 MB/chip/step at these shapes
+    # measured 3.98 MB/chip/step at these frozen shapes (ppermutes
+    # dominate); budget ~1.5x. (Total bytes bound the blow-up class of
+    # regression; the activation-gather class is structural and guarded
+    # by test_collective_structure's forbidden-gather assertions.)
+    budget = 6_000_000
     assert total <= budget, (
         f"CP UNet fwd+VJP moves {total / 1e6:.2f} MB/chip/step over ICI "
         f"(budget {budget / 1e6:.1f} MB): {bytes_by_op}"
     )
 
 
-def test_cp_unet_byte_budget_has_teeth():
-    """The deliberately-degraded program (token axis re-gathered, the
-    classic lost-constraint regression) must blow past the healthy
-    program's traffic — proving the budget detects what it guards."""
-    good = program_ici_bytes(_cp_program_text(), default_group=8)["total"]
-    bad = program_ici_bytes(
-        _cp_program_text(degrade=True), default_group=8
-    )["total"]
-    assert bad > good * 1.2, (good, bad)
-
-
-def test_tp_step_byte_budget():
-    """TP guided step: Megatron all-reduce traffic is bounded — a rules
-    regression that re-gathers full weights each step multiplies it."""
+def _tp_program_text(degrade: bool = False):
     model = _tiny_sd()
     mesh = parallel.create_mesh(data=2, tensor=4)
     params = parallel.shard_params({"params": model.params["unet"]}, mesh)
@@ -155,21 +140,48 @@ def test_tp_step_byte_budget():
         ),
         mesh,
     )
+    if degrade:
+        # the lost-input-sharding regression: the batch arrives
+        # replicated (shard_batch dropped), params stay Megatron-sharded
+        # — every chip computes the FULL batch and the activation psum
+        # traffic nearly doubles (measured 83.4 MB vs 42.9 healthy)
+        latents = parallel.replicate(
+            jnp.asarray(np.asarray(latents)), mesh
+        )
+        ts = parallel.replicate(jnp.asarray(np.asarray(ts)), mesh)
+        ctx = parallel.replicate(jnp.asarray(np.asarray(ctx)), mesh)
 
     def loss(p, x, t, c):
         return (model.unet.apply(p, x, t, c) ** 2).mean()
 
-    txt = (
+    return (
         jax.jit(jax.grad(loss))
         .lower(params, latents, ts, ctx)
         .compile()
         .as_text()
     )
-    bytes_by_op = program_ici_bytes(txt, default_group=4)
+
+
+TP_BUDGET = 65_000_000  # measured 42.9 MB/chip/step healthy; ~1.5x
+
+
+def test_tp_step_byte_budget():
+    """TP guided step: Megatron all-reduce traffic is bounded — a
+    sharding regression that replicates work multiplies it."""
+    bytes_by_op = program_ici_bytes(_tp_program_text(), default_group=4)
     total = bytes_by_op["total"]
     assert total > 0
-    budget = 20_000_000  # ~2x measured at these shapes; pinned below
-    assert total <= budget, (
+    assert total <= TP_BUDGET, (
         f"TP step moves {total / 1e6:.2f} MB/chip/step over ICI "
-        f"(budget {budget / 1e6:.1f} MB): {bytes_by_op}"
+        f"(budget {TP_BUDGET / 1e6:.1f} MB): {bytes_by_op}"
     )
+
+
+def test_tp_byte_budget_has_teeth():
+    """The deliberately-degraded program (batch replicated while params
+    stay sharded — what a dropped shard_batch compiles to) must blow
+    past the budget the healthy program meets (measured 1.9x)."""
+    bad = program_ici_bytes(
+        _tp_program_text(degrade=True), default_group=4
+    )["total"]
+    assert bad > TP_BUDGET, bad

@@ -31,9 +31,29 @@ def _plan(mesh):
 
 def test_route_explain_ring():
     plan = _plan(_mesh())
-    route, reason = plan.route_explain(2048, 2048, 8)
+    # bandwidth-clean ring: shard 8192/8 = 1024 >= ring_min_shard
+    route, reason = plan.route_explain(8192, 8192, 8)
     assert route == "ring"
-    assert "2048" in reason and "ring_min_seq" in reason
+    assert "1024" in reason and "ring_min_shard" in reason
+
+
+def test_route_explain_short_shard_prefers_ulysses():
+    """Priced crossover (scripts/ab_ring_price.py): below ring_min_shard
+    the ring's hops are comm-bound and Ulysses moves n/2x fewer bytes —
+    head-divisible shapes switch."""
+    plan = _plan(_mesh())
+    route, reason = plan.route_explain(2048, 2048, 8)
+    assert route == "ulysses"
+    assert "ring_min_shard" in reason
+
+
+def test_route_explain_ring_memory_fallback():
+    """Shapes Ulysses cannot serve (heads don't divide) still ride the
+    ring at long global seq: comm-bound hops, but memory scales 1/n."""
+    plan = _plan(_mesh())
+    route, reason = plan.route_explain(2048, 2048, 5)
+    assert route == "ring"
+    assert "not Ulysses-divisible" in reason
 
 
 def test_route_explain_ulysses_cross():
@@ -73,11 +93,11 @@ def test_record_routing_ring_site():
     mesh = _mesh()
     with parallel.context_parallel(mesh):
         with parallel.record_routing() as report:
-            jax.eval_shape(attention, *_qkv(2048))
+            jax.eval_shape(attention, *_qkv(8192))
     routes = report.routes()
     assert routes.get("ring") == 1
     (rec,) = report.records
-    assert rec.site == "attention" and rec.shape == (2048, 2048, 8)
+    assert rec.site == "attention" and rec.shape == (8192, 8192, 8)
 
 
 def test_record_routing_fallback_site():
@@ -117,11 +137,11 @@ def test_explain_helper():
     mesh = _mesh()
 
     def fn(q, k, v):
-        a = attention(q, k, v)  # ring
+        a = attention(q, k, v)  # ring (shard 1024 = ring_min_shard)
         b = attention(q[:, :, :77], k, v)  # cross -> ulysses
         return a, b
 
-    report = parallel.explain(fn, *_qkv(2048), mesh=mesh)
+    report = parallel.explain(fn, *_qkv(8192), mesh=mesh)
     routes = report.routes()
     assert routes.get("ring") == 1 and routes.get("ulysses") == 1
     assert "ring" in report.summary()
