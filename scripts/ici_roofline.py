@@ -50,7 +50,7 @@ sys.path.insert(0, _REPO)
 # measured single-chip anchors (docs/PERFORMANCE.md, round 4, quiet host;
 # device-true values with the ~11 ms/step tunnel dispatch removed where
 # the 4-step scan measurement carried it)
-T1_MS = {"cp1024": 499.0, "tp512": 83.5}
+T1_MS = {"cp1024": 499.0, "tp512": 83.5, "tpunet512": 39.0}
 ICI_ONE_WAY_BYTES_PER_S = 45e9  # v5e per-link one-way
 MESH_SIZES = (2, 4, 8)
 
@@ -251,9 +251,40 @@ def _compile_tp(nets, n: int, size: int):
     ctx = parallel.replicate(ctx, mesh)
     step = nets["guided_step"]
 
-    lowered = jax.jit(
-        lambda la, c: step(*params, la, c)
-    ).lower(lat, ctx)
+    # params MUST be jit ARGUMENTS: a closed-over sharded tree is a
+    # compile-time constant GSPMD may simply replicate (measured: zero
+    # collectives in the lowered program — the exact lost-input-sharding
+    # failure class test_collective_bytes' teeth test guards).
+    lowered = jax.jit(step).lower(*params, lat, ctx)
+    return lowered.compile().as_text()
+
+
+def _compile_tp_unet(nets, n: int, size: int):
+    """UNet-only fwd+input-VJP under Megatron TP — the component the
+    TP rules actually target (the full-step row prices the conv-heavy
+    VAE/CLIP tail under TP, which is the documented anti-pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from perceptor_tpu import parallel
+    from perceptor_tpu.models.stable_diffusion import UNet
+
+    mesh = parallel.create_mesh(
+        data=1, tensor=n, devices=jax.devices()[:n]
+    )
+    unet_cfg = nets["unet_cfg"]
+    unet = UNet(unet_cfg, dtype=jnp.bfloat16)
+    latent = size // nets["vae_cfg"].downscale
+    lat = jnp.zeros((1, unet_cfg.in_channels, latent, latent))
+    ctx = jnp.zeros((1, 77, unet_cfg.context_dim))
+    params = parallel.shard_params(nets["params"][0], mesh)
+    lat = parallel.replicate(lat, mesh)
+    ctx = parallel.replicate(ctx, mesh)
+
+    def loss(p, x, c):
+        return (unet.apply({"params": p}, x, jnp.full((1,), 800.0), c) ** 2).mean()
+
+    lowered = jax.jit(jax.grad(loss, argnums=1)).lower(params, lat, ctx)
     return lowered.compile().as_text()
 
 
@@ -286,6 +317,14 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true", help="tiny nets (smoke)")
     ap.add_argument("--json", default=os.path.join(_REPO, "docs", "ici_roofline.json"))
     ap.add_argument("--sizes", type=int, nargs="*", default=list(MESH_SIZES))
+    ap.add_argument(
+        "--programs",
+        nargs="*",
+        default=["cp1024", "tp512", "tpunet512"],
+        choices=["cp1024", "tp512", "tpunet512"],
+        help="subset to (re)compile; rows for the others are merged "
+        "from an existing --json payload if present",
+    )
     args = ap.parse_args()
 
     _ensure_devices(max(args.sizes))
@@ -305,10 +344,20 @@ def main() -> None:
     cp_size = 256 if args.quick else 1024
     tp_size = 64 if args.quick else 512
     rows = []
+    if os.path.exists(args.json):
+        with open(args.json) as f:
+            rows = [
+                r
+                for r in json.load(f).get("rows", [])
+                if r["program"] not in args.programs
+            ]
     for label, builder, size, t1 in (
         ("cp1024", _compile_cp, cp_size, T1_MS["cp1024"]),
         ("tp512", _compile_tp, tp_size, T1_MS["tp512"]),
+        ("tpunet512", _compile_tp_unet, tp_size, T1_MS["tpunet512"]),
     ):
+        if label not in args.programs:
+            continue
         for n in args.sizes:
             t0 = time.time()
             txt = builder(nets, n, size)
@@ -318,6 +367,7 @@ def main() -> None:
             rows.append(row)
             print(json.dumps(row), flush=True)
 
+    rows.sort(key=lambda r: (r["program"], r["n_chips"]))
     payload = {
         "quick": args.quick,
         "t1_ms": T1_MS,
